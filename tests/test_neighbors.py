@@ -1,0 +1,117 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from efficientlo_net_tpu.ops import neighbors as N
+from tests.oracles import oracle_window_select
+
+
+def make_grids(rng, b=2, h1=8, w1=16, h2=8, w2=16, invalid_frac=0.3):
+    g1 = rng.standard_normal((b, h1, w1, 3)).astype(np.float32) * 2.0
+    g2 = rng.standard_normal((b, h2, w2, 3)).astype(np.float32) * 2.0
+    for g in (g1, g2):
+        kill = rng.random(g.shape[:-1]) < invalid_frac
+        g[kill] = 0.0
+    return g1, g2
+
+
+def check_against_oracle(idx, mask, ref_idx, ref_mask, mode):
+    idx, mask = np.asarray(idx), np.asarray(mask)[..., 0]
+    np.testing.assert_array_equal(mask, ref_mask)
+    if mode == "first_k":
+        np.testing.assert_array_equal(idx * ref_mask.astype(np.int64), ref_idx)
+    else:
+        # KNN tie order can differ; compare sorted index sets per center
+        b, n, k = idx.shape
+        for bi in range(b):
+            for ni in range(n):
+                got = sorted(idx[bi, ni][mask[bi, ni] > 0].tolist())
+                want = sorted(ref_idx[bi, ni][ref_mask[bi, ni] > 0].tolist())
+                assert got == want, (bi, ni, got, want)
+
+
+@pytest.mark.parametrize("mode", ["first_k", "knn"])
+@pytest.mark.parametrize("distance", [1.5, 1000.0])
+def test_same_grid_selection(mode, distance):
+    rng = np.random.default_rng(42)
+    g1, g2 = make_grids(rng)
+    centers = N.grid_centers(8, 16)
+    perm = rng.permutation(3 * 5)
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g2), centers, (3, 5), 4, distance,
+        mode=mode, perm=jnp.asarray(perm),
+    )
+    ref_idx, ref_mask = oracle_window_select(
+        g1, g2, centers, (3, 5), 4, distance, mode=mode, perm=perm
+    )
+    check_against_oracle(idx, mask, ref_idx, ref_mask, mode)
+
+
+@pytest.mark.parametrize("mode", ["first_k", "knn"])
+def test_strided_cross_grid(mode):
+    # dense 8x16 centers querying a 4x8 coarse grid with stride (2,2),
+    # exercising the up_conv path (pointnet_util.py:272-274)
+    rng = np.random.default_rng(7)
+    g1, _ = make_grids(rng, h1=8, w1=16)
+    _, g2 = make_grids(rng, h2=4, w2=8)
+    centers = N.grid_centers(8, 16)
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g2), centers, (3, 3), 3, 6.0,
+        stride=(2, 2), mode=mode,
+    )
+    ref_idx, ref_mask = oracle_window_select(
+        g1, g2, centers, (3, 3), 3, 6.0, stride=(2, 2), mode=mode
+    )
+    check_against_oracle(idx, mask, ref_idx, ref_mask, mode)
+
+
+def test_strided_centers_down_conv():
+    # strided centers on the same grid (down_conv path, pointnet_util.py:197-199)
+    rng = np.random.default_rng(3)
+    g1, _ = make_grids(rng, h1=8, w1=16)
+    centers = N.grid_centers(8, 16, 2, 4)
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g1), centers, (3, 5), 4, 2.0, mode="knn"
+    )
+    ref_idx, ref_mask = oracle_window_select(
+        g1, g1, centers, (3, 5), 4, 2.0, mode="knn"
+    )
+    check_against_oracle(idx, mask, ref_idx, ref_mask, "knn")
+
+
+def test_cylindrical_wrap():
+    # a center at column 0 must see neighbors at the far right columns
+    h, w = 4, 8
+    g = np.zeros((1, h, w, 3), dtype=np.float32)
+    g[0, 1, 0] = [1.0, 0.0, 0.0]   # center
+    g[0, 1, w - 1] = [1.1, 0.0, 0.0]  # wrap neighbor
+    centers = np.array([[1, 0]], dtype=np.int32)
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g), jnp.asarray(g), centers, (1, 3), 2, 10.0, mode="knn"
+    )
+    got = set(np.asarray(idx)[0, 0][np.asarray(mask)[0, 0, :, 0] > 0].tolist())
+    assert got == {1 * w + 0, 1 * w + (w - 1)}
+
+
+def test_invalid_center_masks_everything():
+    rng = np.random.default_rng(9)
+    g1, g2 = make_grids(rng, invalid_frac=0.0)
+    g1[0, 2, 3] = 0.0  # kill one center
+    centers = np.array([[2, 3]], dtype=np.int32)
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g2), centers, (3, 3), 4, 100.0, mode="knn"
+    )
+    assert float(jnp.sum(mask[0])) == 0.0
+    assert float(jnp.sum(mask[1])) > 0.0  # batch 1 center still valid
+
+
+def test_gather_by_index():
+    rng = np.random.default_rng(11)
+    img = rng.standard_normal((2, 4, 8, 5)).astype(np.float32)
+    idx = rng.integers(0, 32, size=(2, 6, 3))
+    out = np.asarray(N.gather_by_index(jnp.asarray(img), jnp.asarray(idx)))
+    flat = img.reshape(2, 32, 5)
+    for b in range(2):
+        for n in range(6):
+            for k in range(3):
+                np.testing.assert_array_equal(out[b, n, k], flat[b, idx[b, n, k]])

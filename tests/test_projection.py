@@ -1,0 +1,65 @@
+import numpy as np
+import jax.numpy as jnp
+
+from efficientlo_net_tpu.config import SensorConfig
+from efficientlo_net_tpu.ops.projection import project_to_range_image, pixel_coords
+from tests.oracles import oracle_project
+
+SENSOR = SensorConfig(height=16, width=64, num_points=512)
+
+
+def random_cloud(rng, n, invalid_frac=0.2):
+    pts = rng.standard_normal((n, 3)) * np.array([10.0, 10.0, 1.5])
+    kill = rng.random(n) < invalid_frac
+    pts[kill] = 0.0
+    return pts.astype(np.float32)
+
+
+def test_projection_matches_oracle():
+    rng = np.random.default_rng(0)
+    pts = np.stack([random_cloud(rng, 512) for _ in range(3)])
+    img, _ = project_to_range_image(jnp.asarray(pts), None, 16, 64, SENSOR)
+    img = np.asarray(img)
+    for b in range(3):
+        ref, _ = oracle_project(pts[b], None, 16, 64, SENSOR)
+        np.testing.assert_allclose(img[b], ref, atol=1e-5)
+
+
+def test_projection_with_features_matches_oracle():
+    rng = np.random.default_rng(1)
+    pts = np.stack([random_cloud(rng, 256) for _ in range(2)])
+    feats = rng.standard_normal((2, 256, 5)).astype(np.float32)
+    img, fimg = project_to_range_image(jnp.asarray(pts), jnp.asarray(feats), 16, 64, SENSOR)
+    for b in range(2):
+        ref_img, ref_f = oracle_project(pts[b], feats[b], 16, 64, SENSOR)
+        np.testing.assert_allclose(np.asarray(img[b]), ref_img, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(fimg[b]), ref_f, atol=1e-5)
+
+
+def test_min_range_collision():
+    # two points in the same pixel: the closer one must win
+    far = np.array([20.0, 0.01, 0.0])
+    near = np.array([10.0, 0.005, 0.0])
+    pts = np.stack([far, near])[None].astype(np.float32)
+    img, _ = project_to_range_image(jnp.asarray(pts), None, 16, 64, SENSOR)
+    img = np.asarray(img)[0]
+    nz = img[np.abs(img).sum(-1) > 0]
+    assert nz.shape[0] == 1
+    np.testing.assert_allclose(nz[0], near, atol=1e-6)
+
+
+def test_invalid_points_excluded():
+    pts = np.zeros((1, 64, 3), dtype=np.float32)
+    img, _ = project_to_range_image(jnp.asarray(pts), None, 16, 64, SENSOR)
+    assert float(jnp.abs(img).sum()) == 0.0
+
+
+def test_pixel_coords_hdl64_ranges():
+    sensor = SensorConfig()
+    rng = np.random.default_rng(2)
+    pts = rng.standard_normal((1000, 3)).astype(np.float32) * np.array(
+        [15.0, 15.0, 2.0], dtype=np.float32
+    )
+    row, col, valid, r = pixel_coords(jnp.asarray(pts), 64, 1800, sensor)
+    assert int(jnp.min(row)) >= 0 and int(jnp.max(row)) <= 63
+    assert int(jnp.min(col)) >= 0 and int(jnp.max(col)) <= 1799
