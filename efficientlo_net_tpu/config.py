@@ -134,6 +134,8 @@ def tiny_model_config(height: int = 16, width: int = 128, num_points: int = 2048
     sensor = SensorConfig(height=height, width=width, num_points=num_points)
     return ModelConfig(
         sensor=sensor,
+        stride_h=(1, 1, 2, 2, 1, 1),
+        stride_w=(1, 1, 4, 2, 2, 2),
         down_kernels=((3, 5), (3, 5), (3, 3), (3, 3)),
         down_K=(8, 8, 4, 4),
         down_mlps=((4, 4, 8), (8, 8, 16), (16, 16, 32), (32, 32, 64)),

@@ -39,7 +39,7 @@ def pixel_coords(points: jnp.ndarray, height: int, width: int, sensor: SensorCon
     az_res = 2.0 * math.pi / width
     up = sensor.vertical_fov_up_deg * math.pi / 180.0
     down = sensor.vertical_fov_down_deg * math.pi / 180.0
-    v_res = (up - down) / (height - 1)
+    v_res = (up - down) / max(height - 1, 1)
     v_off = -down / v_res
 
     x, y, z = points[..., 0], points[..., 1], points[..., 2]
