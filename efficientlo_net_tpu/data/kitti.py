@@ -1,0 +1,122 @@
+"""KITTI odometry dataset provider (host-side, numpy).
+
+Capability parity with reference ``kitti_dataset.py``:
+* global frame index across 22 sequences via the cumulative length table
+  (kitti_dataset.py:28-31);
+* each item pairs frame t with frame t-1 (index 0 pairs frame 0 with itself,
+  kitti_dataset.py:45-49);
+* scans zero-padded to ``num_points``;
+* per-pair GT relative transform from ``kitti_T_diff/XX_diff.npy``, conjugated
+  into the LiDAR frame with the per-sequence calibration:
+  ``T_gt = Tr^-1 @ T_diff @ Tr`` (kitti_dataset.py:100-101);
+* sequences 11-21 (no GT) use identity (kitti_dataset.py:89-90).
+
+Returned orientation matches the reference trainer's unpacking
+(main.py:317): ``pc1`` is the *later* frame t, ``pc2`` is frame t-1.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Optional, Tuple
+
+import numpy as np
+
+SEQ_LENGTH_TABLE = [
+    0, 4541, 5642, 10303, 11104, 11375, 14136, 15237, 16338, 20409, 22000,
+    23201, 24122, 25183, 28464, 29095, 30996, 32727, 33218, 35019, 40000,
+    40831, 43552,
+]
+SEQ_NAMES = [f"{i:02d}" for i in range(22)]
+
+
+def read_calib_file(path: str) -> dict:
+    """KITTI calib parser (reference kitti_dataset.py:109-126)."""
+    float_chars = set("0123456789.e+- ")
+    data = {}
+    with open(path, "r") as f:
+        for line in f.readlines():
+            key, value = line.split(":", 1)
+            value = value.strip()
+            data[key] = value
+            if float_chars.issuperset(value):
+                try:
+                    data[key] = np.array(list(map(float, value.split(" "))))
+                except ValueError:
+                    pass
+    return data
+
+
+@lru_cache(maxsize=32)
+def load_tr(calib_path: str) -> Tuple[np.ndarray, np.ndarray]:
+    tr = read_calib_file(calib_path)["Tr"].reshape(3, 4)
+    tr = np.vstack([tr, np.array([0.0, 0.0, 0.0, 1.0])])
+    return tr, np.linalg.inv(tr)
+
+
+class OdometryDataset:
+    """Maps a global frame index to a (pc1, pc2, T_gt) training pair."""
+
+    def __init__(
+        self,
+        root: str,
+        num_points: int = 150000,
+        gt_pose_dir: Optional[str] = None,
+    ):
+        self.root = root
+        self.num_points = num_points
+        self.gt_pose_dir = gt_pose_dir or os.path.join(
+            os.path.dirname(root), "ground_truth_pose"
+        )
+        self._t_diff_cache = {}
+
+    def __len__(self) -> int:
+        return SEQ_LENGTH_TABLE[-1]
+
+    def locate(self, index: int) -> Tuple[int, int, int]:
+        """global index -> (sequence, frame t, frame t-1)."""
+        for si in range(1, len(SEQ_LENGTH_TABLE)):
+            if index < SEQ_LENGTH_TABLE[si]:
+                seq = si - 1
+                f2 = index - SEQ_LENGTH_TABLE[si - 1]
+                f1 = max(f2 - 1, 0)
+                return seq, f2, f1
+        raise IndexError(index)
+
+    def _t_diff(self, seq: int) -> Optional[np.ndarray]:
+        if seq > 10:
+            return None
+        if seq not in self._t_diff_cache:
+            path = os.path.join(
+                self.gt_pose_dir, "kitti_T_diff", f"{SEQ_NAMES[seq]}_diff.npy"
+            )
+            self._t_diff_cache[seq] = np.load(path)
+        return self._t_diff_cache[seq]
+
+    def read_scan(self, seq: int, frame: int) -> np.ndarray:
+        path = os.path.join(
+            self.root, SEQ_NAMES[seq], "velodyne", f"{frame:06d}.bin"
+        )
+        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)[:, :3]
+        out = np.zeros((self.num_points, 3), dtype=np.float32)
+        out[: min(len(pts), self.num_points)] = pts[: self.num_points]
+        return out
+
+    def __getitem__(self, index: int):
+        seq, f2, f1 = self.locate(index)
+        seq_dir = os.path.join(self.root, SEQ_NAMES[seq])
+        tr, tr_inv = load_tr(os.path.join(seq_dir, "calib.txt"))
+
+        pc_t = self.read_scan(seq, f2)       # frame t   ("pc1" downstream)
+        pc_tm1 = self.read_scan(seq, f1)     # frame t-1 ("pc2" downstream)
+
+        diff = self._t_diff(seq)
+        if diff is None:
+            t_diff = np.eye(4)
+        else:
+            t_diff = np.vstack(
+                [diff[f2].reshape(3, 4), np.array([0.0, 0.0, 0.0, 1.0])]
+            )
+        t_gt = (tr_inv @ t_diff @ tr).astype(np.float32)
+        return pc_t, pc_tm1, t_gt

@@ -1,0 +1,119 @@
+"""Threaded prefetching batch loader.
+
+The reference input pipeline is synchronous single-threaded Python inside the
+train loop (main.py:362, SURVEY.md §3.1 "input pipeline is a known
+bottleneck"); here disk reads + augmentation run in worker threads while the
+TPU computes, with a bounded prefetch queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from .augmentation import augmentation_batch
+from .kitti import OdometryDataset
+
+
+def make_batch(dataset: OdometryDataset, indices: Sequence[int], rng, training: bool):
+    pc1, pc2, T_gt = [], [], []
+    for i in indices:
+        a, b, T = dataset[int(i)]
+        pc1.append(a)
+        pc2.append(b)
+        T_gt.append(T)
+    T_trans, T_trans_inv, aug_frame = augmentation_batch(rng, len(indices), training)
+    return {
+        "pc1": np.stack(pc1),
+        "pc2": np.stack(pc2),
+        "T_gt": np.stack(T_gt),
+        "T_trans": T_trans,
+        "T_trans_inv": T_trans_inv,
+        "aug_frame": aug_frame,
+    }
+
+
+class PrefetchLoader:
+    """Iterates batches of dataset indices with worker threads + a bounded
+    queue.  Deterministic given ``seed`` (each batch draws from a per-batch
+    child generator)."""
+
+    def __init__(
+        self,
+        dataset: OdometryDataset,
+        indices: Sequence[int],
+        batch_size: int,
+        training: bool,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 8,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+        self.batch_size = batch_size
+        self.training = training
+        self.seed = seed
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        rng = np.random.default_rng([self.seed, epoch])
+        order = self.indices.copy()
+        if self.training:
+            rng.shuffle(order)
+        nb = len(self)
+        batches = [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        task_q: "queue.Queue" = queue.Queue()
+        for bi, idxs in enumerate(batches):
+            task_q.put((bi, idxs))
+
+        results = {}
+        lock = threading.Lock()
+
+        def worker():
+            while True:
+                try:
+                    bi, idxs = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                brng = np.random.default_rng([self.seed, epoch, bi])
+                batch = make_batch(self.dataset, idxs, brng, self.training)
+                with lock:
+                    results[bi] = batch
+                out_q.put(bi)
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in threads:
+            t.start()
+
+        next_emit = 0
+        try:
+            while next_emit < nb:
+                out_q.get()
+                ready = []
+                with lock:
+                    while next_emit in results:
+                        ready.append(results.pop(next_emit))
+                        next_emit += 1
+                for batch in ready:
+                    yield batch
+        finally:
+            for t in threads:
+                t.join(timeout=0.1)

@@ -1,0 +1,105 @@
+"""Jitted train / eval steps.
+
+One fused XLA program per step: preprocess -> project -> forward -> loss ->
+grad -> optimizer update.  The reference runs preprocessing inside its TF
+graph too (pwclo_model.py:61-64) but feeds numpy via feed_dict; here batches
+arrive as device arrays and buffers are donated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, TrainConfig
+from ..models.losses import total_loss
+from ..models.preprocess import preprocess
+from ..ops.projection import project_to_range_image
+from .state import TrainState, bn_momentum_schedule, make_optimizer
+
+
+def _forward_inputs(batch, sensor):
+    """preprocess + project both frames (training and eval share this)."""
+    pc1, pc2, q_gt, t_gt = preprocess(
+        batch["pc1"], batch["pc2"], batch["T_gt"],
+        batch["T_trans"], batch["T_trans_inv"], batch["aug_frame"],
+        max_planar_radius=sensor.max_planar_radius,
+    )
+    h, w = sensor.height, sensor.width
+    p1, _ = project_to_range_image(pc1, None, h, w, sensor)
+    p2, _ = project_to_range_image(pc2, None, h, w, sensor)
+    # input projections carry no gradient (reference pwclo_model.py:66-67)
+    return jax.lax.stop_gradient(p1), jax.lax.stop_gradient(p2), q_gt, t_gt
+
+
+def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig):
+    optimizer = make_optimizer(train_cfg)
+    bn_sched = bn_momentum_schedule(train_cfg)
+
+    def loss_fn(params, batch_stats, batch, rng, bn_momentum):
+        p1, p2, q_gt, t_gt = _forward_inputs(batch, model_cfg.sensor)
+        rngs = {
+            "neighbor": jax.random.fold_in(rng, 0),
+            "dropout": jax.random.fold_in(rng, 1),
+        }
+        out, mutated = model.apply(
+            {"params": params["model"], "batch_stats": batch_stats},
+            p1, p2, training=True, bn_momentum=bn_momentum, stochastic=True,
+            rngs=rngs, mutable=["batch_stats"],
+        )
+        loss, metrics = total_loss(out, q_gt, t_gt, params["w_x"], params["w_q"])
+        return loss, (mutated["batch_stats"], metrics)
+
+    def train_step(state: TrainState, batch: Dict, rng):
+        bn_momentum = bn_sched(state.step)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng, bn_momentum
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, model_cfg: ModelConfig):
+    """Returns the finest-level (l0) pose prediction — what the odometry
+    integrator consumes (reference main.py:530: ops['pred_q']=l0_q)."""
+
+    @jax.jit
+    def eval_step(params, batch_stats, batch):
+        p1, p2, q_gt, t_gt = _forward_inputs(batch, model_cfg.sensor)
+        out = model.apply(
+            {"params": params["model"], "batch_stats": batch_stats},
+            p1, p2, training=False,
+        )
+        return {
+            "q": out["q"][0], "t": out["t"][0],
+            "q_gt": q_gt, "t_gt": t_gt,
+        }
+
+    return eval_step
+
+
+def identity_batch_fields(batch_size: int):
+    """Eval-mode placeholders: identity augmentation (reference
+    main.py:309-312)."""
+    import numpy as np
+
+    eye = np.tile(np.eye(4, dtype=np.float32), (batch_size, 1, 1))
+    return {
+        "T_trans": eye,
+        "T_trans_inv": eye.copy(),
+        "aug_frame": np.ones((batch_size,), dtype=np.int32),
+    }
