@@ -1,0 +1,110 @@
+"""Sequence evaluation runner: model inference over a KITTI sequence ->
+trajectory -> RPE metrics, all in-process.
+
+Replaces the reference flow of main.py:459-599 (batched sess.run loop, txt
+dump, then ``os.popen("python ./kitti_evaluation.py ...")`` and stdout
+grepping) with a direct library call.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..data.kitti import SEQ_LENGTH_TABLE, SEQ_NAMES, OdometryDataset, load_tr
+from ..data.loader import PrefetchLoader
+from .kitti_metrics import SequenceResult, evaluate_sequence, load_poses, poses_from_rows
+from .odometry import integrate_sequence, save_kitti_trajectory
+
+
+def sequence_indices(seq: int) -> np.ndarray:
+    return np.arange(SEQ_LENGTH_TABLE[seq], SEQ_LENGTH_TABLE[seq + 1])
+
+
+def predict_sequence(
+    eval_step,
+    params,
+    batch_stats,
+    dataset: OdometryDataset,
+    seq: int,
+    batch_size: int = 8,
+    num_workers: int = 4,
+) -> tuple:
+    """Runs the jitted eval step over every frame pair of a sequence.
+
+    Returns (quats (N,4), trans (N,3)) numpy arrays.  The last partial batch
+    is padded (the reference reuses stale rows instead, main.py:507-518 — we
+    pad with repeats and slice, which is equivalent for the used rows).
+    """
+    import jax.numpy as jnp
+
+    idxs = sequence_indices(seq)
+    n = len(idxs)
+    loader = PrefetchLoader(
+        dataset, idxs, batch_size, training=False,
+        num_workers=num_workers, drop_last=False,
+    )
+    quats, trans = [], []
+    for batch in loader.epoch(0):
+        bsz = batch["pc1"].shape[0]
+        if bsz < batch_size:  # pad to the compiled batch shape
+            pad = batch_size - bsz
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
+                for k, v in batch.items()
+            }
+        out = eval_step(
+            params, batch_stats, {k: jnp.asarray(v) for k, v in batch.items()}
+        )
+        quats.append(np.asarray(out["q"])[:bsz])
+        trans.append(np.asarray(out["t"])[:bsz])
+    q = np.concatenate(quats)[:n]
+    t = np.concatenate(trans)[:n]
+    return q, t
+
+
+def evaluate_sequences(
+    eval_step,
+    params,
+    batch_stats,
+    dataset: OdometryDataset,
+    sequences: Sequence[int],
+    gt_dir: str,
+    result_dir: Optional[str] = None,
+    batch_size: int = 8,
+    log=print,
+) -> Dict[int, SequenceResult]:
+    """Full eval over multiple sequences; returns per-sequence results and
+    (optionally) writes KITTI trajectory txt files."""
+    results = {}
+    for seq in sequences:
+        name = SEQ_NAMES[seq]
+        tr, _ = load_tr(os.path.join(dataset.root, name, "calib.txt"))
+        q, t = predict_sequence(
+            eval_step, params, batch_stats, dataset, seq, batch_size
+        )
+        rows = integrate_sequence(q, t, tr)
+        if result_dir is not None:
+            os.makedirs(result_dir, exist_ok=True)
+            save_kitti_trajectory(os.path.join(result_dir, f"{name}_pred.txt"), rows)
+
+        gt_path = os.path.join(gt_dir, f"{name}.txt")
+        if not os.path.exists(gt_path):
+            log(f"seq{name}: no ground truth, skipping metrics")
+            continue
+        poses_gt = load_poses(gt_path)
+        poses_res = poses_from_rows(rows)
+        res = evaluate_sequence(poses_gt, poses_res, seq=name)
+        results[seq] = res
+        log(res.summary())
+    return results
+
+
+def mean_t_rel(results: Dict[int, SequenceResult]) -> float:
+    """Validation scalar driving best-checkpoint retention
+    (reference main.py:591-597)."""
+    if not results:
+        return float("nan")
+    return float(np.mean([r.t_rel for r in results.values()]))

@@ -1,0 +1,149 @@
+"""Training loop orchestration.
+
+Reference equivalent: ``main()`` + ``train_one_epoch`` (main.py:140-398) —
+epoch loop over shuffled frame indices, periodic validation driving
+best-checkpoint retention (every 20 epochs for the first 100, every 2 after,
+main.py:227-249), scalar logging.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig, TrainConfig
+from ..data.kitti import SEQ_LENGTH_TABLE, OdometryDataset
+from ..data.loader import PrefetchLoader
+from ..evaluation.runner import evaluate_sequences, mean_t_rel
+from ..models.pwclo import PWCLONet
+from ..parallel.data_parallel import make_sharded_train_step, replicate_state
+from ..parallel.mesh import make_mesh, shard_batch
+from ..training.checkpoint import CheckpointManager
+from ..training.state import create_train_state
+from ..training.step import make_eval_step, make_train_step
+from ..utils.logging import Logger
+
+
+def train_indices_for(sequences: Sequence[int]) -> np.ndarray:
+    """All global frame indices belonging to the given sequences."""
+    parts = [
+        np.arange(SEQ_LENGTH_TABLE[s], SEQ_LENGTH_TABLE[s + 1]) for s in sequences
+    ]
+    return np.concatenate(parts)
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        train_cfg: TrainConfig,
+        data_root: str,
+        log_dir: str,
+        gt_dir: Optional[str] = None,
+        train_list: Sequence[int] = tuple(range(7)),
+        val_list: Sequence[int] = tuple(range(7, 11)),
+        seed: int = 0,
+        use_mesh: bool = True,
+    ):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self.logger = Logger(os.path.join(log_dir, "log_train.txt"))
+        self.gt_dir = gt_dir or os.path.join(
+            os.path.dirname(os.path.abspath(data_root)), "ground_truth_pose"
+        )
+        self.train_list = list(train_list)
+        self.val_list = list(val_list)
+        self.seed = seed
+
+        self.dataset = OdometryDataset(
+            data_root, num_points=model_cfg.sensor.num_points, gt_pose_dir=self.gt_dir
+        )
+        self.model = PWCLONet(model_cfg)
+        self.state = create_train_state(
+            self.model, model_cfg, train_cfg, jax.random.key(seed)
+        )
+        self.ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+
+        if use_mesh and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+            self.state = replicate_state(self.state, self.mesh)
+            self.train_step = make_sharded_train_step(
+                self.model, model_cfg, train_cfg, self.mesh
+            )
+        else:
+            self.mesh = None
+            self.train_step = jax.jit(
+                make_train_step(self.model, model_cfg, train_cfg),
+                donate_argnums=(0,),
+            )
+        self.eval_step = make_eval_step(self.model, model_cfg)
+
+    def restore(self, step: Optional[int] = None) -> None:
+        self.state = self.ckpt.restore(self.state, step)
+        self.logger.log(f"restored checkpoint at step {int(self.state.step)}")
+
+    def _device_batch(self, batch):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        if self.mesh is not None:
+            batch = shard_batch(self.mesh, batch)
+        return batch
+
+    def train_one_epoch(self, epoch: int, limit_batches: Optional[int] = None) -> float:
+        loader = PrefetchLoader(
+            self.dataset,
+            train_indices_for(self.train_list),
+            self.train_cfg.batch_size,
+            training=True,
+            seed=self.seed,
+        )
+        losses = []
+        t_epoch = time.time()
+        rng = jax.random.key(hash((self.seed, epoch)) % (2**31))
+        for bi, batch in enumerate(loader.epoch(epoch)):
+            if limit_batches is not None and bi >= limit_batches:
+                break
+            step_rng = jax.random.fold_in(rng, bi)
+            self.state, metrics = self.train_step(
+                self.state, self._device_batch(batch), step_rng
+            )
+            if bi % 50 == 0:
+                loss = float(jax.device_get(metrics["loss"]))
+                losses.append(loss)
+                self.logger.log(
+                    f"epoch {epoch} batch {bi}/{len(loader)} loss {loss:.4f}"
+                )
+        self.logger.log(
+            f"epoch {epoch} done in {time.time() - t_epoch:.1f}s "
+            f"mean-sampled-loss {np.mean(losses) if losses else float('nan'):.4f}"
+        )
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def validate(self) -> float:
+        params = jax.device_get(self.state.params)
+        stats = jax.device_get(self.state.batch_stats)
+        results = evaluate_sequences(
+            self.eval_step, params, stats, self.dataset, self.val_list,
+            gt_dir=self.gt_dir, result_dir=os.path.join(self.log_dir, "val"),
+            batch_size=self.train_cfg.batch_size, log=self.logger.log,
+        )
+        return mean_t_rel(results)
+
+    def fit(self, max_epoch: Optional[int] = None) -> None:
+        max_epoch = max_epoch or self.train_cfg.max_epoch
+        for epoch in range(max_epoch):
+            self.logger.log(f"**** EPOCH {epoch:03d} ****")
+            self.train_one_epoch(epoch)
+            # validation cadence: reference main.py:227-249
+            if (epoch % 20 == 0 and epoch <= 100) or (epoch % 2 == 0 and epoch > 100):
+                val = self.validate()
+                self.logger.log(f"epoch {epoch} val t_rel {val:.4f}")
+                if self.ckpt.maybe_save_best(self.state, val):
+                    self.logger.log(f"new best model saved (val t_rel {val:.4f})")

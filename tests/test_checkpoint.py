@@ -1,0 +1,42 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from efficientlo_net_tpu.config import TrainConfig, tiny_model_config
+from efficientlo_net_tpu.models.pwclo import PWCLONet
+from efficientlo_net_tpu.training.checkpoint import CheckpointManager
+from efficientlo_net_tpu.training.state import create_train_state
+
+CFG = tiny_model_config()
+TCFG = TrainConfig(batch_size=2)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    model = PWCLONet(CFG)
+    state = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    state = state.replace(step=jnp.asarray(7, dtype=jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(state)
+
+    other = create_train_state(model, CFG, TCFG, jax.random.key(123))
+    restored = mgr.restore(other)
+    assert int(restored.step) == 7
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_model_retention(tmp_path):
+    model = PWCLONet(CFG)
+    state = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+
+    assert mgr.maybe_save_best(state, 2.0)
+    assert not mgr.maybe_save_best(state, 3.0)  # worse: rejected
+    state = state.replace(step=jnp.asarray(1, dtype=jnp.int32))
+    assert mgr.maybe_save_best(state, 1.5)      # better: kept
+    assert mgr.best_error() == 1.5
+    assert not mgr.maybe_save_best(state, float("nan"))

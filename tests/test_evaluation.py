@@ -1,0 +1,123 @@
+import numpy as np
+import pytest
+
+from efficientlo_net_tpu.evaluation import kitti_metrics as KM
+from efficientlo_net_tpu.evaluation.odometry import (
+    integrate_sequence,
+    quat_to_mat_np,
+)
+
+
+def make_straight_trajectory(n, step=1.0):
+    """Poses moving along +z (camera forward) at `step` m/frame."""
+    poses = []
+    for i in range(n):
+        p = np.eye(4)
+        p[2, 3] = i * step
+        poses.append(p)
+    return poses
+
+
+def test_integration_identity_rotation():
+    n = 10
+    q = np.tile([1.0, 0, 0, 0], (n, 1))
+    t = np.tile([1.0, 0, 0], (n, 1))
+    rows = integrate_sequence(q, t)
+    # pose i = translation (i+1) along x (first row already contains pair 0)
+    for i in range(n):
+        np.testing.assert_allclose(rows[i].reshape(3, 4)[:, 3], [i + 1, 0, 0], atol=1e-9)
+
+
+def test_integration_with_calibration():
+    # Tr maps lidar->camera; with yaw motion the conjugation must transfer it
+    tr = np.eye(4)
+    tr[:3, :3] = KM.R_C2L[:3, :3]
+    yaw = 0.1
+    q = np.array([[np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)]])  # lidar z-rotation
+    t = np.array([[1.0, 0.0, 0.0]])
+    rows = integrate_sequence(q, t, tr)
+    pose = np.eye(4)
+    pose[:3, :] = rows[0].reshape(3, 4)
+    tt = np.eye(4)
+    tt[:3, :3] = quat_to_mat_np(q[0])
+    tt[:3, 3] = t[0]
+    expected = tr @ tt @ np.linalg.inv(tr)
+    np.testing.assert_allclose(pose, expected, atol=1e-9)
+
+
+def test_rpe_perfect_trajectory_zero_error():
+    gt = make_straight_trajectory(3000, step=0.5)  # 1.5 km
+    res = KM.evaluate_sequence(gt, gt, seq="00")
+    assert res.errors, "should produce segment errors"
+    assert res.t_rel == pytest.approx(0.0, abs=1e-9)
+    assert res.r_rel == pytest.approx(0.0, abs=1e-9)
+
+
+def test_rpe_known_scale_error():
+    # prediction travels 1% farther -> t_rel should be ~1%
+    gt = make_straight_trajectory(3000, step=0.5)
+    pred = make_straight_trajectory(3000, step=0.505)
+    res = KM.evaluate_sequence(gt, pred, seq="01")
+    assert res.t_rel == pytest.approx(1.0, rel=0.05)
+    assert res.r_rel == pytest.approx(0.0, abs=1e-6)
+
+
+def test_rpe_known_rotation_error():
+    # constant yaw drift of 0.001 rad/frame at 0.5 m/frame
+    # -> 0.002 rad/m -> r_rel = 0.002 * 180/pi * 100 deg/100m
+    n = 3000
+    gt = make_straight_trajectory(n, step=0.5)
+    pred = []
+    pose = np.eye(4)
+    dyaw = 0.001
+    rot = np.array(
+        [
+            [np.cos(dyaw), -np.sin(dyaw), 0, 0],
+            [np.sin(dyaw), np.cos(dyaw), 0, 0],
+            [0, 0, 1, 0.5],
+            [0, 0, 0, 1],
+        ]
+    )
+    for i in range(n):
+        pred.append(pose.copy())
+        pose = pose @ rot
+    res = KM.evaluate_sequence(gt, pred, seq="02")
+    expected_r_rel = 0.002 * 180 / np.pi * 100
+    assert res.r_rel == pytest.approx(expected_r_rel, rel=0.1)
+
+
+def test_segment_and_speed_tables():
+    gt = make_straight_trajectory(3000, step=0.5)
+    pred = make_straight_trajectory(3000, step=0.505)
+    errs = KM.sequence_errors(gt, pred)
+    seg = KM.segment_error_table(errs)
+    assert seg[100] is not None
+    assert seg[100][0] == pytest.approx(0.01, rel=0.05)
+    spd = KM.speed_error_table(errs)
+    assert any(v is not None for v in spd.values())
+
+
+def test_load_poses_with_and_without_idx(tmp_path):
+    rows = np.hstack([np.arange(3)[:, None], np.tile(np.eye(4)[:3].reshape(-1), (3, 1))])
+    p13 = tmp_path / "p13.txt"
+    np.savetxt(p13, rows)
+    poses = KM.load_poses(str(p13))
+    assert len(poses) == 3
+    np.testing.assert_allclose(poses[0], np.eye(4))
+
+    p12 = tmp_path / "p12.txt"
+    np.savetxt(p12, rows[:, 1:])
+    poses = KM.load_poses(str(p12))
+    assert len(poses) == 3
+
+
+def test_to_camera_coord_roundtrip():
+    rng = np.random.default_rng(0)
+    p = np.eye(4)
+    p[:3, 3] = rng.standard_normal(3)
+    back = KM.to_camera_coord(p)
+    # pure translation in lidar coords (x fwd, y left, z up) maps to camera
+    # coords (z fwd, x right, y down)
+    np.testing.assert_allclose(
+        back[:3, 3], [-p[1, 3], -p[2, 3], p[0, 3]], atol=1e-12
+    )
