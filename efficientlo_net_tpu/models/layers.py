@@ -137,16 +137,17 @@ class DownConv(nn.Module):
     def __call__(self, xyz_proj, feat_proj, stride_hw, training, bn_momentum, perm=None):
         b, h, w, _ = xyz_proj.shape
         oh, ow = self.out_hw
-        centers = nbr.grid_centers(h, w, stride_hw[0], stride_hw[1])
 
         idx, mask = nbr.select_neighbors(
-            xyz_proj, xyz_proj, centers, self.kernel_size, self.k,
-            self.distance, stride=(1, 1), mode=nbr.FIRST_K, perm=perm,
+            xyz_proj, xyz_proj, self.kernel_size, self.k, self.distance,
+            center_stride=tuple(stride_hw), mode=nbr.FIRST_K, perm=perm,
         )
         mask = jax.lax.stop_gradient(mask)
 
-        xyz_group = nbr.gather_by_index(xyz_proj, idx) * mask  # (B, N, K, 3)
-        feat_group = nbr.gather_by_index(feat_proj, idx) * mask
+        both = nbr.gather_by_index(
+            jnp.concatenate([xyz_proj, feat_proj], axis=-1), idx
+        ) * mask
+        xyz_group, feat_group = both[..., :3], both[..., 3:]
 
         new_xyz_proj = xyz_proj[:, :: stride_hw[0], :: stride_hw[1], :]
         new_xyz = new_xyz_proj.reshape(b, oh * ow, 3)
@@ -181,15 +182,17 @@ class UpConv(nn.Module):
     @nn.compact
     def __call__(self, xyz1_proj, xyz2_proj, feat1, feat2_proj, training, bn_momentum, perm=None):
         b, h, w, _ = xyz1_proj.shape
-        centers = nbr.grid_centers(h, w)
         idx, mask = nbr.select_neighbors(
-            xyz1_proj, xyz2_proj, centers, self.kernel_size, self.nsample,
-            self.distance, stride=self.stride_hw, mode=nbr.FIRST_K, perm=perm,
+            xyz1_proj, xyz2_proj, self.kernel_size, self.nsample,
+            self.distance, source_stride=tuple(self.stride_hw),
+            mode=nbr.FIRST_K, perm=perm,
         )
         mask = jax.lax.stop_gradient(mask)
 
-        up_xyz = nbr.gather_by_index(xyz2_proj, idx) * mask
-        up_feat = nbr.gather_by_index(feat2_proj, idx) * mask
+        both = nbr.gather_by_index(
+            jnp.concatenate([xyz2_proj, feat2_proj], axis=-1), idx
+        ) * mask
+        up_xyz, up_feat = both[..., :3], both[..., 3:]
 
         xyz1 = xyz1_proj.reshape(b, h * w, 3)
         diff = up_xyz - xyz1[:, :, None, :]
@@ -229,17 +232,18 @@ class CostVolume(nn.Module):
                  training, bn_momentum, perm=None):
         b, h, w, _ = warped_xyz1_proj.shape
         n = h * w
-        centers = nbr.grid_centers(h, w)
 
         # ---- stage 1: cross-frame attention ------------------------------
         idx_q, mask_q = nbr.select_neighbors(
-            warped_xyz1_proj, xyz2_proj, centers, self.kernel_size2,
+            warped_xyz1_proj, xyz2_proj, self.kernel_size2,
             self.nsample_q, 1000.0, mode=nbr.KNN,
         )
         mask_q = jax.lax.stop_gradient(mask_q)
 
-        qi_xyz = nbr.gather_by_index(xyz2_proj, idx_q) * mask_q  # (B,N,Kq,3)
-        qi_feat = nbr.gather_by_index(feat2_proj, idx_q) * mask_q
+        both_q = nbr.gather_by_index(
+            jnp.concatenate([xyz2_proj, feat2_proj], axis=-1), idx_q
+        ) * mask_q
+        qi_xyz, qi_feat = both_q[..., :3], both_q[..., 3:]  # (B,N,Kq,*)
 
         xyz1 = warped_xyz1_proj.reshape(b, n, 3)
         feat1 = feat1_proj.reshape(b, n, -1)
@@ -270,13 +274,15 @@ class CostVolume(nn.Module):
 
         # ---- stage 2: self-aggregation ----------------------------------
         idx_p, mask_p = nbr.select_neighbors(
-            warped_xyz1_proj, warped_xyz1_proj, centers, self.kernel_size1,
+            warped_xyz1_proj, warped_xyz1_proj, self.kernel_size1,
             self.nsample, self.distance, mode=nbr.FIRST_K, perm=perm,
         )
         mask_p = jax.lax.stop_gradient(mask_p)
 
-        pc_grouped_feat = nbr.gather_by_index(first_proj, idx_p) * mask_p
-        pc_grouped_xyz = nbr.gather_by_index(warped_xyz1_proj, idx_p) * mask_p
+        both_p = nbr.gather_by_index(
+            jnp.concatenate([warped_xyz1_proj, first_proj], axis=-1), idx_p
+        ) * mask_p
+        pc_grouped_xyz, pc_grouped_feat = both_p[..., :3], both_p[..., 3:]
 
         pc_xyz_new = jnp.broadcast_to(
             xyz1[:, :, None, :], pc_grouped_xyz.shape

@@ -56,7 +56,8 @@ def pixel_coords(points: jnp.ndarray, height: int, width: int, sensor: SensorCon
     return row, col, valid, r
 
 
-def _project_single(points, features, height, width, sensor):
+def _project_single_scatter(points, features, height, width, sensor):
+    """segment-min formulation (reference-shaped; scatter-heavy on TPU)."""
     n = points.shape[0]
     row, col, valid, r = pixel_coords(points, height, width, sensor)
     num_pix = height * width
@@ -82,15 +83,51 @@ def _project_single(points, features, height, width, sensor):
     return img, feat_img
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def project_to_range_image(points, features, height, width, sensor: SensorConfig):
+def _project_single_sort(points, features, height, width, sensor):
+    """Sort + binary-search formulation: no scatters at all.
+
+    TPU scatters serialize badly; instead lexicographically sort points by
+    (pixel, range) — ``jax.lax.sort`` with two keys — and look up each
+    pixel's winner with a vectorized binary search (gathers only).  Winner =
+    min-range point, ties to the lowest point index (sort is stable).
+    """
+    n = points.shape[0]
+    row, col, valid, r = pixel_coords(points, height, width, sensor)
+    num_pix = height * width
+    pix = jnp.where(valid, row * width + col, num_pix).astype(jnp.int32)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    pix_s, _, idx_s = jax.lax.sort((pix, r, idx), num_keys=2)
+
+    pos = jnp.searchsorted(pix_s, jnp.arange(num_pix, dtype=jnp.int32))
+    pos = jnp.minimum(pos, n - 1)
+    found = pix_s[pos] == jnp.arange(num_pix, dtype=jnp.int32)
+    winner = idx_s[pos]
+
+    img = jnp.where(found[:, None], points[winner], 0.0)
+    img = img.reshape(height, width, 3)
+    if features is None:
+        return img, img
+    feat_img = jnp.where(found[:, None], features[winner], 0.0)
+    feat_img = feat_img.reshape(height, width, features.shape[-1])
+    return img, feat_img
+
+
+_METHODS = {"sort": _project_single_sort, "scatter": _project_single_scatter}
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def project_to_range_image(
+    points, features, height, width, sensor: SensorConfig, method: str = "sort"
+):
     """Batched projection: points (B, N, 3) [+ features (B, N, C)] ->
     range image (B, H, W, 3) [+ feature image (B, H, W, C)].
 
     Returns (xyz_image, feature_image); when ``features`` is None the feature
     image aliases the xyz image (reference model_util.py:289-292).
+    ``method``: "sort" (gather-only, fast on TPU) or "scatter" (segment-min).
     """
-    fn = partial(_project_single, height=height, width=width, sensor=sensor)
+    fn = partial(_METHODS[method], height=height, width=width, sensor=sensor)
     if features is None:
         return jax.vmap(lambda p: fn(p, None))(points)
     return jax.vmap(fn)(points, features)

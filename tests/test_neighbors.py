@@ -30,79 +30,117 @@ def check_against_oracle(idx, mask, ref_idx, ref_mask, mode):
                 assert got == want, (bi, ni, got, want)
 
 
+@pytest.mark.parametrize("impl", ["fast", "reference"])
 @pytest.mark.parametrize("mode", ["first_k", "knn"])
 @pytest.mark.parametrize("distance", [1.5, 1000.0])
-def test_same_grid_selection(mode, distance):
+def test_same_grid_selection(impl, mode, distance):
     rng = np.random.default_rng(42)
     g1, g2 = make_grids(rng)
-    centers = N.grid_centers(8, 16)
     perm = rng.permutation(3 * 5)
     idx, mask = N.select_neighbors(
-        jnp.asarray(g1), jnp.asarray(g2), centers, (3, 5), 4, distance,
-        mode=mode, perm=jnp.asarray(perm),
+        jnp.asarray(g1), jnp.asarray(g2), (3, 5), 4, distance,
+        mode=mode, perm=jnp.asarray(perm), impl=impl,
     )
     ref_idx, ref_mask = oracle_window_select(
-        g1, g2, centers, (3, 5), 4, distance, mode=mode, perm=perm
+        g1, g2, N.grid_centers(8, 16), (3, 5), 4, distance, mode=mode, perm=perm
     )
     check_against_oracle(idx, mask, ref_idx, ref_mask, mode)
 
 
+@pytest.mark.parametrize("impl", ["fast", "reference"])
 @pytest.mark.parametrize("mode", ["first_k", "knn"])
-def test_strided_cross_grid(mode):
-    # dense 8x16 centers querying a 4x8 coarse grid with stride (2,2),
-    # exercising the up_conv path (pointnet_util.py:272-274)
+def test_strided_source_up_conv_path(impl, mode):
+    # dense 8x16 centers querying a 4x8 coarse grid with source stride (2,2)
+    # (pointnet_util.py:272-274)
     rng = np.random.default_rng(7)
     g1, _ = make_grids(rng, h1=8, w1=16)
     _, g2 = make_grids(rng, h2=4, w2=8)
-    centers = N.grid_centers(8, 16)
     idx, mask = N.select_neighbors(
-        jnp.asarray(g1), jnp.asarray(g2), centers, (3, 3), 3, 6.0,
-        stride=(2, 2), mode=mode,
+        jnp.asarray(g1), jnp.asarray(g2), (3, 3), 3, 6.0,
+        source_stride=(2, 2), mode=mode, impl=impl,
     )
     ref_idx, ref_mask = oracle_window_select(
-        g1, g2, centers, (3, 3), 3, 6.0, stride=(2, 2), mode=mode
+        g1, g2, N.grid_centers(8, 16), (3, 3), 3, 6.0, stride=(2, 2), mode=mode
     )
     check_against_oracle(idx, mask, ref_idx, ref_mask, mode)
 
 
-def test_strided_centers_down_conv():
-    # strided centers on the same grid (down_conv path, pointnet_util.py:197-199)
+@pytest.mark.parametrize("impl", ["fast", "reference"])
+def test_strided_centers_down_conv_path(impl):
+    # strided centers on the same grid (pointnet_util.py:197-199)
     rng = np.random.default_rng(3)
     g1, _ = make_grids(rng, h1=8, w1=16)
-    centers = N.grid_centers(8, 16, 2, 4)
     idx, mask = N.select_neighbors(
-        jnp.asarray(g1), jnp.asarray(g1), centers, (3, 5), 4, 2.0, mode="knn"
+        jnp.asarray(g1), jnp.asarray(g1), (3, 5), 4, 2.0,
+        center_stride=(2, 4), mode="knn", impl=impl,
     )
     ref_idx, ref_mask = oracle_window_select(
-        g1, g1, centers, (3, 5), 4, 2.0, mode="knn"
+        g1, g1, N.grid_centers(8, 16, 2, 4), (3, 5), 4, 2.0, mode="knn"
     )
     check_against_oracle(idx, mask, ref_idx, ref_mask, "knn")
 
 
-def test_cylindrical_wrap():
+@pytest.mark.parametrize("impl", ["fast", "reference"])
+def test_uneven_strided_centers(impl):
+    # H not divisible by stride: ceil-sized output grid (reference
+    # out_h_list uses math.ceil, pwclo_model.py:45-50)
+    rng = np.random.default_rng(13)
+    g1, _ = make_grids(rng, h1=7, w1=10)
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g1), (3, 3), 4, 100.0,
+        center_stride=(2, 3), mode="knn", impl=impl,
+    )
+    assert idx.shape[1] == 4 * 4  # ceil(7/2) * ceil(10/3)
+    ref_idx, ref_mask = oracle_window_select(
+        g1, g1, N.grid_centers(7, 10, 2, 3), (3, 3), 4, 100.0, mode="knn"
+    )
+    check_against_oracle(idx, mask, ref_idx, ref_mask, "knn")
+
+
+@pytest.mark.parametrize("impl", ["fast", "reference"])
+def test_cylindrical_wrap(impl):
     # a center at column 0 must see neighbors at the far right columns
     h, w = 4, 8
     g = np.zeros((1, h, w, 3), dtype=np.float32)
     g[0, 1, 0] = [1.0, 0.0, 0.0]   # center
     g[0, 1, w - 1] = [1.1, 0.0, 0.0]  # wrap neighbor
-    centers = np.array([[1, 0]], dtype=np.int32)
     idx, mask = N.select_neighbors(
-        jnp.asarray(g), jnp.asarray(g), centers, (1, 3), 2, 10.0, mode="knn"
+        jnp.asarray(g), jnp.asarray(g), (1, 3), 2, 10.0, mode="knn", impl=impl
     )
-    got = set(np.asarray(idx)[0, 0][np.asarray(mask)[0, 0, :, 0] > 0].tolist())
+    center_n = 1 * w + 0
+    got = set(
+        np.asarray(idx)[0, center_n][np.asarray(mask)[0, center_n, :, 0] > 0].tolist()
+    )
     assert got == {1 * w + 0, 1 * w + (w - 1)}
 
 
-def test_invalid_center_masks_everything():
+@pytest.mark.parametrize("impl", ["fast", "reference"])
+def test_invalid_center_masks_everything(impl):
     rng = np.random.default_rng(9)
     g1, g2 = make_grids(rng, invalid_frac=0.0)
     g1[0, 2, 3] = 0.0  # kill one center
-    centers = np.array([[2, 3]], dtype=np.int32)
     idx, mask = N.select_neighbors(
-        jnp.asarray(g1), jnp.asarray(g2), centers, (3, 3), 4, 100.0, mode="knn"
+        jnp.asarray(g1), jnp.asarray(g2), (3, 3), 4, 100.0, mode="knn", impl=impl
     )
-    assert float(jnp.sum(mask[0])) == 0.0
-    assert float(jnp.sum(mask[1])) > 0.0  # batch 1 center still valid
+    n = 2 * 16 + 3
+    assert float(jnp.sum(mask[0, n])) == 0.0
+    assert float(jnp.sum(mask[1, n])) > 0.0  # batch 1 center still valid
+
+
+def test_first_k_respects_permutation():
+    rng = np.random.default_rng(21)
+    g1, _ = make_grids(rng, b=1, invalid_frac=0.0)
+    perm = rng.permutation(9)
+    for impl in ("fast", "reference"):
+        idx, mask = N.select_neighbors(
+            jnp.asarray(g1), jnp.asarray(g1), (3, 3), 2, 100.0,
+            mode="first_k", perm=jnp.asarray(perm), impl=impl,
+        )
+        ref_idx, ref_mask = oracle_window_select(
+            g1, g1, N.grid_centers(8, 16), (3, 3), 2, 100.0,
+            mode="first_k", perm=perm,
+        )
+        check_against_oracle(idx, mask, ref_idx, ref_mask, "first_k")
 
 
 def test_gather_by_index():

@@ -15,14 +15,29 @@ def random_cloud(rng, n, invalid_frac=0.2):
     return pts.astype(np.float32)
 
 
-def test_projection_matches_oracle():
+import pytest
+
+
+@pytest.mark.parametrize("method", ["sort", "scatter"])
+def test_projection_matches_oracle(method):
     rng = np.random.default_rng(0)
     pts = np.stack([random_cloud(rng, 512) for _ in range(3)])
-    img, _ = project_to_range_image(jnp.asarray(pts), None, 16, 64, SENSOR)
+    img, _ = project_to_range_image(jnp.asarray(pts), None, 16, 64, SENSOR, method)
     img = np.asarray(img)
     for b in range(3):
         ref, _ = oracle_project(pts[b], None, 16, 64, SENSOR)
         np.testing.assert_allclose(img[b], ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["sort", "scatter"])
+def test_projection_dense_collisions(method):
+    # many points per pixel: tiny grid forces heavy collisions
+    rng = np.random.default_rng(5)
+    pts = np.stack([random_cloud(rng, 2048, invalid_frac=0.1) for _ in range(2)])
+    img, _ = project_to_range_image(jnp.asarray(pts), None, 4, 8, SENSOR, method)
+    for b in range(2):
+        ref, _ = oracle_project(pts[b], None, 4, 8, SENSOR)
+        np.testing.assert_allclose(np.asarray(img)[b], ref, atol=1e-5)
 
 
 def test_projection_with_features_matches_oracle():

@@ -1,0 +1,136 @@
+"""Device-time microbenchmarks (chained on-device execution, one host fetch).
+
+Usage: python tools/microbench.py [projection|model|train|all]
+
+The remote-TPU tunnel has a ~24 ms host round trip and a non-blocking
+block_until_ready, so each benchmark chains N dependent iterations inside one
+jitted scan and divides by N.
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def chain_timer(fn, args, iters=20):
+    """fn: (carry_scalar, *args) -> scalar-dependent output; returns s/iter."""
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=("n",))
+    def run(args, n):
+        def body(eps, _):
+            out = fn(eps, *args)
+            return jnp.sum(out) * 1e-20, None
+
+        eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return eps
+
+    np.asarray(run(args, n=iters))  # compile + warmup
+    t0 = time.perf_counter()
+    np.asarray(run(args, n=iters))
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_projection():
+    import jax.numpy as jnp
+
+    from efficientlo_net_tpu.config import ModelConfig
+    from efficientlo_net_tpu.data.synthetic import synthetic_pair
+    from efficientlo_net_tpu.ops.projection import project_to_range_image
+
+    cfg = ModelConfig()
+    rng = np.random.default_rng(0)
+    pc = jnp.asarray(np.stack([synthetic_pair(rng, cfg.sensor)[0] for _ in range(8)]))
+
+    for method in ("sort", "scatter"):
+        def fn(eps, pc, method=method):
+            img, _ = project_to_range_image(pc + eps, None, 64, 1800, cfg.sensor, method)
+            return img
+        dt = chain_timer(fn, (pc,))
+        print(f"projection[{method}] B=8 150k pts: {1e3 * dt:.2f} ms/iter "
+              f"({1e3 * dt / 8:.3f} ms/cloud)")
+
+
+def _model_setup():
+    import jax
+    import jax.numpy as jnp
+
+    from efficientlo_net_tpu.config import ModelConfig
+    from efficientlo_net_tpu.data.synthetic import synthetic_pair
+    from efficientlo_net_tpu.models.pwclo import PWCLONet
+    from efficientlo_net_tpu.ops.projection import project_to_range_image
+
+    cfg = ModelConfig()
+    model = PWCLONet(cfg)
+    rng = np.random.default_rng(0)
+    pairs = [synthetic_pair(rng, cfg.sensor) for _ in range(8)]
+    pc1 = jnp.asarray(np.stack([p[0] for p in pairs]))
+    pc2 = jnp.asarray(np.stack([p[1] for p in pairs]))
+    p1, _ = project_to_range_image(pc1, None, 64, 1800, cfg.sensor)
+    p2, _ = project_to_range_image(pc2, None, 64, 1800, cfg.sensor)
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        {"params": jax.random.key(0), "neighbor": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        p1[:1], p2[:1], training=False,
+    )
+    return cfg, model, variables, pc1, pc2, p1, p2
+
+
+def bench_model():
+    cfg, model, variables, pc1, pc2, p1, p2 = _model_setup()
+
+    def fwd(eps, p1, p2):
+        out = model.apply(variables, p1 + eps, p2, training=False)
+        return out["q"][0]
+
+    dt = chain_timer(fwd, (p1, p2))
+    print(f"model forward (post-projection) B=8: {1e3 * dt:.2f} ms/iter "
+          f"({1e3 * dt / 8:.3f} ms/frame)")
+
+
+def bench_train():
+    import jax
+
+    from efficientlo_net_tpu.config import ModelConfig, TrainConfig
+    from efficientlo_net_tpu.data.synthetic import synthetic_batch
+    from efficientlo_net_tpu.models.pwclo import PWCLONet
+    from efficientlo_net_tpu.training.state import create_train_state
+    from efficientlo_net_tpu.training.step import make_train_step
+    import jax.numpy as jnp
+
+    cfg = ModelConfig()
+    tcfg = TrainConfig(batch_size=8)
+    model = PWCLONet(cfg)
+    state = create_train_state(model, cfg, tcfg, jax.random.key(0))
+    step = jax.jit(make_train_step(model, cfg, tcfg))
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in
+             synthetic_batch(rng, 8, cfg.sensor, training=True).items()}
+
+    # chained: state feeds forward naturally
+    state, _ = step(state, batch, jax.random.key(0))  # compile
+    jax.block_until_ready(state.params["w_x"])
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = step(state, batch, jax.random.key(i))
+    loss = float(jax.device_get(metrics["loss"]))  # sync via dependency
+    dt = (time.perf_counter() - t0) / n
+    print(f"train step B=8: {1e3 * dt:.2f} ms/step ({1e3 * dt / 8:.3f} ms/frame), "
+          f"loss={loss:.3f}")
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if what in ("projection", "all"):
+        bench_projection()
+    if what in ("model", "all"):
+        bench_model()
+    if what in ("train", "all"):
+        bench_train()
