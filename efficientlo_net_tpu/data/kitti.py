@@ -95,13 +95,12 @@ class OdometryDataset:
         return self._t_diff_cache[seq]
 
     def read_scan(self, seq: int, frame: int) -> np.ndarray:
+        from . import native_io
+
         path = os.path.join(
             self.root, SEQ_NAMES[seq], "velodyne", f"{frame:06d}.bin"
         )
-        pts = np.fromfile(path, dtype=np.float32).reshape(-1, 4)[:, :3]
-        out = np.zeros((self.num_points, 3), dtype=np.float32)
-        out[: min(len(pts), self.num_points)] = pts[: self.num_points]
-        return out
+        return native_io.read_scan(path, self.num_points)
 
     def __getitem__(self, index: int):
         seq, f2, f1 = self.locate(index)
