@@ -1,0 +1,257 @@
+"""Windowed pose-graph optimization with distributed factor reduction.
+
+Beyond-reference component (the reference is pure frame-to-frame odometry,
+SURVEY.md §0/C23); designed per BASELINE.json north_star: keyframe poses in a
+sliding window, odometry + loop-closure factors, Gauss-Newton /
+Levenberg-Marquardt on SE(3), with
+
+* factor Jacobians from ``jax.jacfwd`` on the SE(3) Exp/Log residual
+  (no hand-derived block formulas),
+* normal-equation assembly as one big segment-sum (vectorized over factors),
+* distributed reduction: factors sharded across the device mesh with
+  ``shard_map``; each device reduces its shard's (H, b) contribution and a
+  ``psum`` over ICI assembles the window system (every device then solves the
+  small dense system redundantly),
+* sliding-window marginalization via Schur complement on the eliminated
+  poses' blocks.
+
+State convention: node i holds world_T_i (4, 4).  A factor (i, j, Z, w)
+constrains Z ≈ T_i^-1 T_j with residual r = Log(Z^-1 T_i^-1 T_j) and weight
+w (scalar information multiplier; anisotropic 6x6 information also accepted).
+Local update: T_i <- T_i Exp(delta_i).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import se3
+
+
+@dataclasses.dataclass
+class FactorGraph:
+    """Static-shape factor container (padded to a fixed capacity)."""
+
+    src: jnp.ndarray      # (F,) int32 node index i
+    dst: jnp.ndarray      # (F,) int32 node index j
+    meas: jnp.ndarray     # (F, 4, 4) measured relative transform Z
+    weight: jnp.ndarray   # (F,) or (F, 6, 6) information weight
+    valid: jnp.ndarray    # (F,) float 1/0 padding mask
+    num_nodes: int
+
+
+def make_factors(src, dst, meas, weight=None, num_nodes=None, capacity=None) -> FactorGraph:
+    src = np.asarray(src, dtype=np.int32)
+    dst = np.asarray(dst, dtype=np.int32)
+    meas = np.asarray(meas, dtype=np.float32)
+    f = len(src)
+    if weight is None:
+        weight = np.ones((f,), dtype=np.float32)
+    weight = np.asarray(weight, dtype=np.float32)
+    if num_nodes is None:
+        num_nodes = int(max(src.max(), dst.max())) + 1
+    valid = np.ones((f,), dtype=np.float32)
+    if capacity is not None and capacity > f:
+        pad = capacity - f
+        src = np.concatenate([src, np.zeros(pad, np.int32)])
+        dst = np.concatenate([dst, np.zeros(pad, np.int32)])
+        meas = np.concatenate([meas, np.tile(np.eye(4, dtype=np.float32), (pad, 1, 1))])
+        wpad_shape = (pad,) + weight.shape[1:]
+        weight = np.concatenate([weight, np.zeros(wpad_shape, np.float32)])
+        valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+    return FactorGraph(
+        src=jnp.asarray(src), dst=jnp.asarray(dst), meas=jnp.asarray(meas),
+        weight=jnp.asarray(weight), valid=jnp.asarray(valid),
+        num_nodes=num_nodes,
+    )
+
+
+def factor_residual(t_i, t_j, z):
+    """r = Log(Z^-1 T_i^-1 T_j), shape (6,)."""
+    return se3.se3_log(se3.se3_inv(z) @ se3.se3_inv(t_i) @ t_j)
+
+
+def _residual_and_jacobians(t_i, t_j, z):
+    """Residual plus Jacobians w.r.t. local deltas of both endpoints."""
+
+    def r_of(delta_i, delta_j):
+        return factor_residual(
+            t_i @ se3.se3_exp(delta_i), t_j @ se3.se3_exp(delta_j), z
+        )
+
+    zero = jnp.zeros((6,), dtype=t_i.dtype)
+    r = r_of(zero, zero)
+    j_i = jax.jacfwd(lambda d: r_of(d, zero))(zero)  # (6, 6)
+    j_j = jax.jacfwd(lambda d: r_of(zero, d))(zero)  # (6, 6)
+    return r, j_i, j_j
+
+
+def _accumulate(poses, factors: FactorGraph):
+    """Per-shard (H, b, chi2) from a block of factors — vectorized."""
+    t_i = poses[factors.src]
+    t_j = poses[factors.dst]
+    r, j_i, j_j = jax.vmap(_residual_and_jacobians)(t_i, t_j, factors.meas)
+
+    if factors.weight.ndim == 1:
+        info = factors.weight[:, None, None] * jnp.broadcast_to(
+            jnp.eye(6, dtype=r.dtype), (r.shape[0], 6, 6)
+        )
+    else:
+        info = factors.weight
+    info = info * factors.valid[:, None, None]
+
+    n = poses.shape[0]
+    dim = 6 * n
+
+    wr = (info @ r[..., None])[..., 0]          # (F, 6)
+    chi2 = jnp.sum(r * wr)
+
+    # block contributions
+    h_ii = jnp.swapaxes(j_i, -1, -2) @ info @ j_i   # (F, 6, 6)
+    h_jj = jnp.swapaxes(j_j, -1, -2) @ info @ j_j
+    h_ij = jnp.swapaxes(j_i, -1, -2) @ info @ j_j
+    b_i = (jnp.swapaxes(j_i, -1, -2) @ wr[..., None])[..., 0]
+    b_j = (jnp.swapaxes(j_j, -1, -2) @ wr[..., None])[..., 0]
+
+    h = jnp.zeros((dim, dim), dtype=r.dtype)
+    b = jnp.zeros((dim,), dtype=r.dtype)
+
+    def scatter_block(h, blocks, rows, cols):
+        # rows/cols: (F,) node indices; blocks: (F, 6, 6)
+        fi = jnp.arange(6)
+        rr = rows[:, None] * 6 + fi[None, :]          # (F, 6)
+        cc = cols[:, None] * 6 + fi[None, :]
+        idx_r = jnp.repeat(rr[:, :, None], 6, axis=2)  # (F, 6, 6)
+        idx_c = jnp.repeat(cc[:, None, :], 6, axis=1)
+        return h.at[idx_r, idx_c].add(blocks)
+
+    h = scatter_block(h, h_ii, factors.src, factors.src)
+    h = scatter_block(h, h_jj, factors.dst, factors.dst)
+    h = scatter_block(h, h_ij, factors.src, factors.dst)
+    h = scatter_block(h, jnp.swapaxes(h_ij, -1, -2), factors.dst, factors.src)
+
+    bb = b.reshape(n, 6)
+    bb = bb.at[factors.src].add(b_i)
+    bb = bb.at[factors.dst].add(b_j)
+    return h, bb.reshape(-1), chi2
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussNewtonConfig:
+    iterations: int = 10
+    damping: float = 1e-6
+    prior_weight: float = 1e6  # gauge fix on node 0
+
+
+def _solve_step(poses, factors, cfg: GaussNewtonConfig, reduce_fn):
+    h, b, chi2 = reduce_fn(poses, factors)
+    n = poses.shape[0]
+    dim = 6 * n
+    # gauge prior on node 0
+    prior = jnp.zeros((dim,)).at[:6].set(cfg.prior_weight)
+    h = h + jnp.diag(prior) + cfg.damping * jnp.eye(dim, dtype=h.dtype)
+    delta = jnp.linalg.solve(h, -b).reshape(n, 6)
+    new_poses = poses @ se3.se3_exp(delta)
+    return new_poses, chi2
+
+
+def optimize(
+    poses: jnp.ndarray,
+    factors: FactorGraph,
+    cfg: GaussNewtonConfig = GaussNewtonConfig(),
+    mesh=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gauss-Newton on the window.  Returns (poses, chi2 history).
+
+    With ``mesh`` (a 1-D ``jax.sharding.Mesh``), factors are sharded over the
+    mesh axis and the (H, b) reduction runs distributed with a psum.
+    """
+    if mesh is None:
+        reduce_fn = _accumulate
+    else:
+        reduce_fn = _make_distributed_reduce(mesh, factors.num_nodes)
+
+    def body(carry, _):
+        poses, _ = carry
+        new_poses, chi2 = _solve_step(poses, factors, cfg, reduce_fn)
+        return (new_poses, chi2), chi2
+
+    (final, _), history = jax.lax.scan(
+        body, (poses, jnp.float32(0.0)), None, length=cfg.iterations
+    )
+    return final, history
+
+
+def _make_distributed_reduce(mesh, num_nodes):
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    axis = mesh.axis_names[0]
+
+    def sharded(poses, factors: FactorGraph):
+        def local(poses, src, dst, meas, weight, valid):
+            fg = FactorGraph(
+                src=src, dst=dst, meas=meas, weight=weight, valid=valid,
+                num_nodes=num_nodes,
+            )
+            h, b, chi2 = _accumulate(poses, fg)
+            return (
+                jax.lax.psum(h, axis),
+                jax.lax.psum(b, axis),
+                jax.lax.psum(chi2, axis),
+            )
+
+        w_spec = P(axis) if factors.weight.ndim == 1 else P(axis, None, None)
+        return shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis, None, None), w_spec, P(axis)),
+            out_specs=(P(), P(), P()),
+        )(poses, factors.src, factors.dst, factors.meas, factors.weight, factors.valid)
+
+    return sharded
+
+
+# ---------------------------------------------------------------------------
+# sliding-window marginalization (Schur complement)
+# ---------------------------------------------------------------------------
+
+def marginalize(
+    h: jnp.ndarray, b: jnp.ndarray, keep: np.ndarray, drop: np.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Schur-complement elimination of the ``drop`` nodes from (H, b).
+
+    Returns the reduced system over ``keep`` nodes:
+      H' = H_kk - H_kd H_dd^-1 H_dk,   b' = b_k - H_kd H_dd^-1 b_d
+    — the information-preserving prior left behind when old keyframes leave
+    the window.
+    """
+    def block_ids(nodes):
+        return (np.asarray(nodes)[:, None] * 6 + np.arange(6)[None, :]).reshape(-1)
+
+    ki = block_ids(keep)
+    di = block_ids(drop)
+    h_kk = h[np.ix_(ki, ki)]
+    h_kd = h[np.ix_(ki, di)]
+    h_dd = h[np.ix_(di, di)]
+    b_k = b[ki]
+    b_d = b[di]
+    # small diagonal regularization for numerical stability
+    h_dd = h_dd + 1e-8 * jnp.eye(h_dd.shape[0], dtype=h.dtype)
+    sol = jnp.linalg.solve(h_dd, jnp.concatenate([h_kd.T, b_d[:, None]], axis=1))
+    h_dd_inv_h_dk = sol[:, :-1]
+    h_dd_inv_b_d = sol[:, -1]
+    h_new = h_kk - h_kd @ h_dd_inv_h_dk
+    b_new = b_k - h_kd @ h_dd_inv_b_d
+    return h_new, b_new
+
+
+def assemble_system(poses, factors: FactorGraph):
+    """Public (H, b, chi2) assembly — for marginalization workflows."""
+    return _accumulate(poses, factors)

@@ -279,7 +279,7 @@ def select_neighbors(
     source_stride: Tuple[int, int] = (1, 1),
     mode: str = KNN,
     perm: Optional[jnp.ndarray] = None,
-    impl: str = "fast",
+    impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Select up to K window neighbors for every center of the strided grid.
 
@@ -302,6 +302,10 @@ def select_neighbors(
       idx:  (B, N, K) int32 flat indices into grid 2 (H2*W2), 0 where masked.
       mask: (B, N, K, 1) 1.0 for real neighbors, 0.0 for empty slots.
     """
+    if impl is None:
+        import os
+
+        impl = os.environ.get("ELO_NEIGHBOR_IMPL", "fast")
     csh, csw = center_stride
     n_h = -(-xyz1.shape[1] // csh)
     n_w = -(-xyz1.shape[2] // csw)
