@@ -72,13 +72,17 @@ def window_candidates(
     source_stride: Tuple[int, int],
     out_hw: Tuple[int, int],
 ) -> jnp.ndarray:
-    """Build the (B, N, T, C) window-candidate tensor with rolls and slices.
+    """Build the (B, N, C, T) window-candidate tensor via im2col patches.
 
     For center (i, j) of the (n_h, n_w) output grid, candidate t = (dh, dw)
     is ``src[ci // sh + dh, (cj // sw + dw) % W2]`` with ``(ci, cj) =
     (i * csh, j * csw)`` — the CUDA arithmetic of fused_conv_g.cu:79-97.
-    Rows outside [0, H2) become zero vectors, i.e. invalid candidates, which
-    reproduces the kernels' skip of out-of-bound rows.
+    Implemented as one ``lax.conv_general_dilated_patches`` over a
+    wrap-padded (cylindrical) W axis and zero-padded H axis; out-of-bound
+    rows become zero vectors, i.e. invalid candidates, exactly the kernels'
+    skip rule.  Patches collapse the whole construction into a single XLA op
+    (the hand-rolled roll/slice chain compiled 20x slower on the remote TPU
+    toolchain).
 
     Only one of center_stride / source_stride may exceed (1, 1) — true for
     every reference call site (down_conv strides centers; up_conv strides the
@@ -92,32 +96,30 @@ def window_candidates(
     ph = kh // 2
     pw = kw // 2
 
-    # --- columns: roll (cylindrical wrap), then map to center resolution
-    cols = []
-    for dwi in range(kw):
-        dw = dwi - pw
-        r = jnp.roll(src, -dw, axis=2)
-        if sw > 1:
-            r = jnp.repeat(r, sw, axis=2)[:, :, :n_w]
-        elif csw > 1:
-            r = r[:, :, ::csw]
-        cols.append(r)
-    x = jnp.stack(cols, axis=3)  # (B, H2, n_w, kw, C)
+    # cylindrical wrap on W (static index take handles kw > W2 too)
+    wrap_cols = np.mod(np.arange(-pw, w2 + (kw - 1 - pw)), w2)
+    x = jnp.take(src, jnp.asarray(wrap_cols), axis=2)
+    # zero-pad H
+    x = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (0, 0), (0, 0)))
 
-    # --- rows: zero-pad, slice per dh, map to center resolution
-    xp = jnp.pad(x, ((0, 0), (ph, kh - 1 - ph), (0, 0), (0, 0), (0, 0)))
-    rows = []
-    for dhi in range(kh):
-        s = jax.lax.dynamic_slice_in_dim(xp, dhi, h2, axis=1)
-        if sh > 1:
-            s = jnp.repeat(s, sh, axis=1)[:, :n_h]
-        elif csh > 1:
-            s = s[:, ::csh]
-        else:
-            s = s[:, :n_h]
-        rows.append(s)
-    cands = jnp.stack(rows, axis=3)  # (B, n_h, n_w, kh, kw, C)
-    return cands.reshape(b, n_h * n_w, kh * kw, c)
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(kh, kw),
+        window_strides=(csh, csw),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # (B, oh, ow, C * kh * kw), feature order: (c, dh, dw) channel-major
+
+    oh, ow = patches.shape[1], patches.shape[2]
+    patches = patches.reshape(b, oh, ow, c, kh * kw)
+
+    if sh > 1 or sw > 1:
+        patches = jnp.repeat(patches, sh, axis=1)[:, :n_h]
+        patches = jnp.repeat(patches, sw, axis=2)[:, :, :n_w]
+    else:
+        patches = patches[:, :n_h, :n_w]
+
+    return patches.reshape(b, n_h * n_w, c, kh * kw)
 
 
 def _iterative_top_k(scores: jnp.ndarray, k: int):
@@ -161,10 +163,10 @@ def _select_fast(
     center_valid = jnp.sum(center_xyz * center_xyz, axis=-1) > _VALID_EPS
 
     cand = window_candidates(xyz2, kernel_size, center_stride, source_stride, out_hw)
-    cand_valid = jnp.sum(cand * cand, axis=-1) > _VALID_EPS  # (B, N, T)
+    cand_valid = jnp.sum(cand * cand, axis=2) > _VALID_EPS  # (B, N, T)
 
-    diff = cand - center_xyz[:, :, None, :]
-    d_sq = jnp.maximum(jnp.sum(diff * diff, axis=-1), _VALID_EPS)
+    diff = cand - center_xyz[..., None]  # (B, N, 3, T)
+    d_sq = jnp.maximum(jnp.sum(diff * diff, axis=2), _VALID_EPS)
 
     ok = cand_valid & (d_sq <= distance * distance) & center_valid[:, :, None]
 
