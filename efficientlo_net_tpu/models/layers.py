@@ -40,6 +40,8 @@ class ScheduledBatchNorm(nn.Module):
     def __call__(self, x, training: bool, momentum):
         feat = x.shape[-1]
         axes = tuple(range(x.ndim - 1))
+        in_dtype = x.dtype
+        x = x.astype(jnp.float32)  # stats & normalization in f32
         scale = self.param("scale", nn.initializers.ones, (feat,))
         bias = self.param("bias", nn.initializers.zeros, (feat,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((feat,)))
@@ -56,7 +58,7 @@ class ScheduledBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
 
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(in_dtype)
 
 
 class ConvMLP(nn.Module):
@@ -105,7 +107,10 @@ def softmax_valid(feature_bnc, weight_bnc, mask_valid):
     batch and boolean-masks): softmax over the N axis restricted to valid
     points, then weighted sum.  Returns (B, 1, C).
     """
-    logits = jnp.where(mask_valid[..., None], weight_bnc, _MASK_NEG)
+    feature_bnc = feature_bnc.astype(jnp.float32)
+    logits = jnp.where(
+        mask_valid[..., None], weight_bnc.astype(jnp.float32), _MASK_NEG
+    )
     w = jax.nn.softmax(logits, axis=1)
     # zero out fully-invalid batches' contributions from masked points
     w = w * mask_valid[..., None]
@@ -138,16 +143,11 @@ class DownConv(nn.Module):
         b, h, w, _ = xyz_proj.shape
         oh, ow = self.out_hw
 
-        idx, mask = nbr.select_neighbors(
-            xyz_proj, xyz_proj, self.kernel_size, self.k, self.distance,
+        xyz_group, feat_group, mask = nbr.select_and_group(
+            xyz_proj, feat_proj, self.kernel_size, self.k, self.distance,
             center_stride=tuple(stride_hw), mode=nbr.FIRST_K, perm=perm,
         )
         mask = jax.lax.stop_gradient(mask)
-
-        both = nbr.gather_by_index(
-            jnp.concatenate([xyz_proj, feat_proj], axis=-1), idx
-        ) * mask
-        xyz_group, feat_group = both[..., :3], both[..., 3:]
 
         new_xyz_proj = xyz_proj[:, :: stride_hw[0], :: stride_hw[1], :]
         new_xyz = new_xyz_proj.reshape(b, oh * ow, 3)
@@ -267,9 +267,9 @@ class CostVolume(nn.Module):
         attn = ConvMLP(self.mlp2, dtype=self.dtype, name="cv_sum_mlp")(
             attn_in, training, bn_momentum
         )
-        attn = jnp.where(mask_q > 0, attn, _MASK_NEG)
+        attn = jnp.where(mask_q > 0, attn.astype(jnp.float32), _MASK_NEG)
         wq = jax.nn.softmax(attn, axis=2)
-        first = jnp.sum(wq * feat_emb, axis=2)  # (B, N, mlp1[-1])
+        first = jnp.sum(wq * feat_emb.astype(jnp.float32), axis=2)  # (B, N, C)
         first_proj = first.reshape(b, h, w, -1)
 
         # ---- stage 2: self-aggregation ----------------------------------
@@ -301,9 +301,9 @@ class CostVolume(nn.Module):
         pc_attn = ConvMLP(self.mlp2, dtype=self.dtype, name="cv_agg_mlp")(
             pc_attn_in, training, bn_momentum
         )
-        pc_attn = jnp.where(mask_p > 0, pc_attn, _MASK_NEG)
+        pc_attn = jnp.where(mask_p > 0, pc_attn.astype(jnp.float32), _MASK_NEG)
         wp = jax.nn.softmax(pc_attn, axis=2)
-        out = jnp.sum(wp * pc_grouped_feat, axis=2)  # (B, N, mlp2[-1])
+        out = jnp.sum(wp * pc_grouped_feat.astype(jnp.float32), axis=2)
         return out
 
 

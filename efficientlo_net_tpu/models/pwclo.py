@@ -57,6 +57,7 @@ class PWCLONet(nn.Module):
         cfg = self.cfg
         shapes = cfg.level_shapes
         strides = list(zip(cfg.stride_h, cfg.stride_w))
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
         # Siamese pyramid: one module per level, applied to both frames
         # (weight sharing via scope.reuse_variables in the reference,
@@ -68,6 +69,7 @@ class PWCLONet(nn.Module):
                 distance=cfg.down_conv_dis[i],
                 mlp=cfg.down_mlps[i],
                 out_hw=shapes[i + 2],
+                dtype=dtype,
                 name=f"down_l{i}",
             )
             for i in range(4)
@@ -84,6 +86,7 @@ class PWCLONet(nn.Module):
             distance=cfg.cost_volume_dis[2],
             mlp1=cfg.cv_mlp1,
             mlp2=cfg.cv_mlp2,
+            dtype=dtype,
             name="cv_origin",
         )
         self.cv_down = DownConv(
@@ -92,10 +95,11 @@ class PWCLONet(nn.Module):
             distance=cfg.down_conv_dis[3],
             mlp=cfg.cv_down_mlp,
             out_hw=shapes[5],
+            dtype=dtype,
             name="cv_down_l3",
         )
 
-        self.l3_w_predictor = FlowPredictor(cfg.predictor_mlp, name="l3_w_predictor")
+        self.l3_w_predictor = FlowPredictor(cfg.predictor_mlp, dtype=dtype, name="l3_w_predictor")
         self.l3_head = PoseHead(cfg.head_dim, cfg.dropout_rate, name="l3_head")
 
         # Warp-refinement levels l2, l1, l0 (pwclo_model.py:213-425).
@@ -108,6 +112,7 @@ class PWCLONet(nn.Module):
                 distance=cfg.cost_volume_dis[i],
                 mlp1=cfg.cv_mlp1,
                 mlp2=cfg.cv_mlp2,
+                dtype=dtype,
                 name=f"cv_l{i}",
             )
             for i in range(3)
@@ -124,6 +129,7 @@ class PWCLONet(nn.Module):
                 stride_hw=strides[i + 3],
                 mlp=cfg.up_mlp1,
                 mlp2=cfg.up_mlp2,
+                dtype=dtype,
                 name=f"up_w_l{i}",
             )
             for i in range(3)
@@ -136,15 +142,18 @@ class PWCLONet(nn.Module):
                 stride_hw=strides[i + 3],
                 mlp=cfg.up_mlp1,
                 mlp2=cfg.up_mlp2,
+                dtype=dtype,
                 name=f"up_feat_l{i}",
             )
             for i in range(3)
         ]
         self.refine_pred_feat = [
-            FlowPredictor(cfg.predictor_mlp, name=f"pred_feat_l{i}") for i in range(3)
+            FlowPredictor(cfg.predictor_mlp, dtype=dtype, name=f"pred_feat_l{i}")
+            for i in range(3)
         ]
         self.refine_pred_w = [
-            FlowPredictor(cfg.predictor_mlp, name=f"pred_w_l{i}") for i in range(3)
+            FlowPredictor(cfg.predictor_mlp, dtype=dtype, name=f"pred_w_l{i}")
+            for i in range(3)
         ]
         self.refine_head = [
             PoseHead(cfg.head_dim, cfg.dropout_rate, name=f"head_l{i}") for i in range(3)

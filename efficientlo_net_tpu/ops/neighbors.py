@@ -328,6 +328,82 @@ def select_neighbors(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size", "k", "distance", "center_stride", "out_hw", "mode",
+    ),
+)
+def _select_and_group_impl(
+    xyz, feats, perm, kernel_size, k, distance, center_stride, out_hw, mode,
+):
+    b = xyz.shape[0]
+    kh, kw = kernel_size
+    t = kh * kw
+    n_h, n_w = out_hw
+    n = n_h * n_w
+    csh, csw = center_stride
+
+    center_xyz = xyz[:, ::csh, ::csw].reshape(b, n, 3)
+    center_valid = jnp.sum(center_xyz * center_xyz, axis=-1) > _VALID_EPS
+
+    src = jnp.concatenate([xyz, feats], axis=-1)
+    cand = window_candidates(src, kernel_size, center_stride, (1, 1), out_hw)
+    cand_xyz = cand[:, :, :3, :]  # (B, N, 3, T)
+    cand_valid = jnp.sum(cand_xyz * cand_xyz, axis=2) > _VALID_EPS
+
+    diff = cand_xyz - center_xyz[..., None]
+    d_sq = jnp.maximum(jnp.sum(diff * diff, axis=2), _VALID_EPS)
+    ok = cand_valid & (d_sq <= distance * distance) & center_valid[:, :, None]
+
+    if mode == FIRST_K:
+        pos = jnp.arange(t, dtype=jnp.float32)
+        if perm is not None:
+            pos = jnp.argsort(perm).astype(jnp.float32)
+        score = jnp.where(ok, t - pos, -1.0)
+        threshold = 0.0
+    else:
+        score = jnp.where(ok, -d_sq, -jnp.inf)
+        threshold = -jnp.inf
+
+    top_scores, top_t = _iterative_top_k(score, k)  # (B, N, K)
+    mask = (top_scores > threshold)[..., None].astype(xyz.dtype)  # (B,N,K,1)
+
+    # gather with channel-contiguous layout: index count is B*N*K (not *C)
+    cand_nc = jnp.swapaxes(cand, 2, 3)  # (B, N, T, C)
+    sel = jnp.take_along_axis(cand_nc, top_t[..., None], axis=2)  # (B,N,K,C)
+    sel = sel * mask
+    return sel[..., :3], sel[..., 3:], mask
+
+
+def select_and_group(
+    xyz: jnp.ndarray,
+    feats: jnp.ndarray,
+    kernel_size: Tuple[int, int],
+    k: int,
+    distance: float,
+    center_stride: Tuple[int, int] = (1, 1),
+    mode: str = FIRST_K,
+    perm: Optional[jnp.ndarray] = None,
+):
+    """Fused select + neighbor grouping on a single grid (down_conv path).
+
+    Returns (grouped_xyz (B,N,K,3), grouped_feat (B,N,K,C), mask (B,N,K,1)).
+    Selection semantics identical to ``select_neighbors``; values are pulled
+    from the window-candidate tensor with an in-window ``take_along_axis``
+    instead of a flat image gather — much cheaper on TPU when the source
+    grid is large (the down_conv-from-dense case).
+    """
+    csh, csw = center_stride
+    n_h = -(-xyz.shape[1] // csh)
+    n_w = -(-xyz.shape[2] // csw)
+    return _select_and_group_impl(
+        xyz, feats, perm,
+        kernel_size=tuple(kernel_size), k=k, distance=float(distance),
+        center_stride=tuple(center_stride), out_hw=(n_h, n_w), mode=mode,
+    )
+
+
 def select_neighbors_at(
     xyz1, xyz2, centers_hw, kernel_size, k, distance,
     stride=(1, 1), mode=KNN, perm=None,

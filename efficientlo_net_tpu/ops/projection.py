@@ -113,12 +113,50 @@ def _project_single_sort(points, features, height, width, sensor):
     return img, feat_img
 
 
-_METHODS = {"sort": _project_single_sort, "scatter": _project_single_scatter}
+def _project_single_packed(points, features, height, width, sensor):
+    """Single segment-min over a packed (quantized range, index) key.
+
+    Packs a 13-bit range quantization (7.3 mm steps over 0-60 m) and the
+    18-bit point index into one int32, so the winner per pixel falls out of
+    ONE scatter-min instead of two — ~2x less scatter work than the exact
+    two-pass method.  Within a quantization step the lowest index wins;
+    points whose ranges differ by < 7.3 mm in the same pixel are the same
+    surface, so odometry-level behavior is unchanged (the reference would
+    scatter-ADD exact ties, a quirk we don't replicate either way).
+    """
+    n = points.shape[0]
+    assert n < (1 << 18), "packed projection supports < 262144 points"
+    row, col, valid, r = pixel_coords(points, height, width, sensor)
+    num_pix = height * width
+    pix = jnp.where(valid, row * width + col, num_pix)
+
+    r_q = jnp.clip((r * (8191.0 / 60.0)).astype(jnp.int32), 0, 8191)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+    key = jnp.where(valid, (r_q << 18) | idx, jnp.int32(2**31 - 1))
+
+    win_key = jax.ops.segment_min(key, pix, num_segments=num_pix + 1)[:num_pix]
+    has_point = win_key != 2**31 - 1
+    winner = jnp.clip(win_key & ((1 << 18) - 1), 0, n - 1)
+
+    img = jnp.where(has_point[:, None], points[winner], 0.0)
+    img = img.reshape(height, width, 3)
+    if features is None:
+        return img, img
+    feat_img = jnp.where(has_point[:, None], features[winner], 0.0)
+    feat_img = feat_img.reshape(height, width, features.shape[-1])
+    return img, feat_img
+
+
+_METHODS = {
+    "sort": _project_single_sort,
+    "scatter": _project_single_scatter,
+    "packed": _project_single_packed,
+}
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def project_to_range_image(
-    points, features, height, width, sensor: SensorConfig, method: str = "sort"
+    points, features, height, width, sensor: SensorConfig, method: str = "packed"
 ):
     """Batched projection: points (B, N, 3) [+ features (B, N, C)] ->
     range image (B, H, W, 3) [+ feature image (B, H, W, C)].

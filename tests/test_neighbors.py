@@ -143,6 +143,28 @@ def test_first_k_respects_permutation():
         check_against_oracle(idx, mask, ref_idx, ref_mask, "first_k")
 
 
+@pytest.mark.parametrize("mode", ["first_k", "knn"])
+def test_select_and_group_matches_select_plus_gather(mode):
+    rng = np.random.default_rng(17)
+    g1, _ = make_grids(rng, h1=8, w1=16)
+    feats = rng.standard_normal((2, 8, 16, 5)).astype(np.float32)
+    perm = jnp.asarray(rng.permutation(15)) if mode == "first_k" else None
+
+    gx, gf, gm = N.select_and_group(
+        jnp.asarray(g1), jnp.asarray(feats), (3, 5), 4, 2.0,
+        center_stride=(2, 4), mode=mode, perm=perm,
+    )
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g1), (3, 5), 4, 2.0,
+        center_stride=(2, 4), mode=mode, perm=perm, impl="fast",
+    )
+    np.testing.assert_array_equal(np.asarray(gm), np.asarray(mask))
+    want_x = np.asarray(N.gather_by_index(jnp.asarray(g1), idx)) * np.asarray(mask)
+    want_f = np.asarray(N.gather_by_index(jnp.asarray(feats), idx)) * np.asarray(mask)
+    np.testing.assert_allclose(np.asarray(gx), want_x, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), want_f, atol=1e-6)
+
+
 def test_gather_by_index():
     rng = np.random.default_rng(11)
     img = rng.standard_normal((2, 4, 8, 5)).astype(np.float32)

@@ -40,6 +40,34 @@ def test_projection_dense_collisions(method):
         np.testing.assert_allclose(np.asarray(img)[b], ref, atol=1e-5)
 
 
+def test_projection_packed_within_quantization():
+    # packed method may deviate from the exact winner only within one
+    # 60/8191 m quantization step of the true minimum range
+    rng = np.random.default_rng(6)
+    pts = np.stack([random_cloud(rng, 2048, invalid_frac=0.1) for _ in range(2)])
+    img, _ = project_to_range_image(jnp.asarray(pts), None, 4, 8, SENSOR, "packed")
+    img = np.asarray(img)
+    tol = 60.0 / 8191.0 + 1e-6
+    for b in range(2):
+        ref, _ = oracle_project(pts[b], None, 4, 8, SENSOR)
+        occ_ref = np.abs(ref).sum(-1) > 0
+        occ_got = np.abs(img[b]).sum(-1) > 0
+        np.testing.assert_array_equal(occ_got, occ_ref)
+        r_got = np.linalg.norm(img[b], axis=-1)
+        r_ref = np.linalg.norm(ref, axis=-1)
+        assert np.all(r_got[occ_ref] <= r_ref[occ_ref] + tol)
+
+
+def test_projection_packed_exact_when_separated():
+    # well-separated ranges: packed == exact
+    rng = np.random.default_rng(7)
+    pts = np.stack([random_cloud(rng, 256, invalid_frac=0.2) for _ in range(2)])
+    a, _ = project_to_range_image(jnp.asarray(pts), None, 16, 64, SENSOR, "packed")
+    b, _ = project_to_range_image(jnp.asarray(pts), None, 16, 64, SENSOR, "scatter")
+    # identical except possibly sub-quantization ties (none expected here)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_projection_with_features_matches_oracle():
     rng = np.random.default_rng(1)
     pts = np.stack([random_cloud(rng, 256) for _ in range(2)])
