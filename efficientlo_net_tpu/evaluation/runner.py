@@ -75,9 +75,11 @@ def evaluate_sequences(
     result_dir: Optional[str] = None,
     batch_size: int = 8,
     log=print,
+    make_plots: bool = False,
 ) -> Dict[int, SequenceResult]:
     """Full eval over multiple sequences; returns per-sequence results and
-    (optionally) writes KITTI trajectory txt files."""
+    (optionally) writes KITTI trajectory txt files + plots (reference
+    kitti_evaluation.py writes path/xyz/rpy/error plots per sequence)."""
     results = {}
     for seq in sequences:
         name = SEQ_NAMES[seq]
@@ -91,14 +93,24 @@ def evaluate_sequences(
             save_kitti_trajectory(os.path.join(result_dir, f"{name}_pred.txt"), rows)
 
         gt_path = os.path.join(gt_dir, f"{name}.txt")
+        poses_res = poses_from_rows(rows)
         if not os.path.exists(gt_path):
             log(f"seq{name}: no ground truth, skipping metrics")
+            if make_plots and result_dir is not None:
+                from .plots import write_all_plots
+
+                write_all_plots(name, None, poses_res, [],
+                                os.path.join(result_dir, f"{name}_eval"))
             continue
         poses_gt = load_poses(gt_path)
-        poses_res = poses_from_rows(rows)
         res = evaluate_sequence(poses_gt, poses_res, seq=name)
         results[seq] = res
         log(res.summary())
+        if make_plots and result_dir is not None:
+            from .plots import write_all_plots
+
+            write_all_plots(name, poses_gt, poses_res, res.errors,
+                            os.path.join(result_dir, f"{name}_eval"))
     return results
 
 

@@ -56,6 +56,7 @@ class Trainer:
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self.logger = Logger(os.path.join(log_dir, "log_train.txt"))
+        self._snapshot_config(model_cfg, train_cfg)
         self.gt_dir = gt_dir or os.path.join(
             os.path.dirname(os.path.abspath(data_root)), "ground_truth_pose"
         )
@@ -85,6 +86,22 @@ class Trainer:
                 donate_argnums=(0,),
             )
         self.eval_step = make_eval_step(self.model, model_cfg)
+
+    def _snapshot_config(self, model_cfg, train_cfg) -> None:
+        """Reproducibility snapshot into the log dir — the reference copies
+        its source files (main.py:96-100); configs are the moving parts
+        here."""
+        import dataclasses
+        import json
+
+        def as_dict(cfg):
+            return dataclasses.asdict(cfg)
+
+        with open(os.path.join(self.log_dir, "config.json"), "w") as f:
+            json.dump(
+                {"model": as_dict(model_cfg), "train": as_dict(train_cfg)},
+                f, indent=2, default=str,
+            )
 
     def restore(self, step: Optional[int] = None) -> None:
         self.state = self.ckpt.restore(self.state, step)
@@ -117,8 +134,21 @@ class Trainer:
             if bi % 50 == 0:
                 loss = float(jax.device_get(metrics["loss"]))
                 losses.append(loss)
+                step = int(jax.device_get(self.state.step))
                 self.logger.log(
                     f"epoch {epoch} batch {bi}/{len(loader)} loss {loss:.4f}"
+                )
+                self.logger.scalar("loss", loss, step)
+                for name in ("l0_loss", "l1_loss", "l2_loss", "l3_loss"):
+                    self.logger.scalar(
+                        name, float(jax.device_get(metrics[name])), step
+                    )
+                self.logger.scalar(
+                    "learning_rate",
+                    float(self.train_cfg.learning_rate(step)), step,
+                )
+                self.logger.scalar(
+                    "bn_decay", float(self.train_cfg.bn_momentum(step)), step
                 )
         self.logger.log(
             f"epoch {epoch} done in {time.time() - t_epoch:.1f}s "
