@@ -108,6 +108,9 @@ def window_candidates(
         window_strides=(csh, csw),
         padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        # the identity-filter conv must not round f32 values through the
+        # MXU's bf16 inputs — coordinates feed radius tests downstream
+        precision=jax.lax.Precision.HIGHEST,
     )  # (B, oh, ow, C * kh * kw), feature order: (c, dh, dw) channel-major
 
     oh, ow = patches.shape[1], patches.shape[2]
@@ -307,7 +310,21 @@ def select_neighbors(
     if impl is None:
         import os
 
-        impl = os.environ.get("ELO_NEIGHBOR_IMPL", "fast")
+        impl = os.environ.get("ELO_NEIGHBOR_IMPL", "auto")
+    if impl == "auto":
+        # the fused Pallas kernel is the fastest path on TPU; the XLA
+        # formulation serves CPU (tests) and remains the correctness oracle
+        import jax as _jax
+
+        impl = "pallas" if _jax.default_backend() == "tpu" else "fast"
+    if impl == "pallas":
+        from .pallas_select import pallas_window_select
+
+        return pallas_window_select(
+            xyz1, xyz2, tuple(kernel_size), k, float(distance),
+            center_stride=tuple(center_stride),
+            source_stride=tuple(source_stride), mode=mode, perm=perm,
+        )
     csh, csw = center_stride
     n_h = -(-xyz1.shape[1] // csh)
     n_w = -(-xyz1.shape[2] // csw)
@@ -394,6 +411,23 @@ def select_and_group(
     instead of a flat image gather — much cheaper on TPU when the source
     grid is large (the down_conv-from-dense case).
     """
+    import jax as _jax
+    import os as _os
+
+    if (
+        _jax.default_backend() == "tpu"
+        and _os.environ.get("ELO_NEIGHBOR_IMPL", "auto") in ("auto", "pallas")
+    ):
+        from .pallas_select import pallas_window_select
+
+        idx, mask = pallas_window_select(
+            xyz, xyz, tuple(kernel_size), k, float(distance),
+            center_stride=tuple(center_stride), mode=mode, perm=perm,
+        )
+        both = gather_by_index(jnp.concatenate([xyz, feats], axis=-1), idx)
+        both = both * mask
+        return both[..., :3], both[..., 3:], mask
+
     csh, csw = center_stride
     n_h = -(-xyz.shape[1] // csh)
     n_w = -(-xyz.shape[2] // csw)

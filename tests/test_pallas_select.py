@@ -59,6 +59,53 @@ def test_pallas_wide_window_wrap():
     sets_equal(idx_p, mask_p, idx_x, mask_x)
 
 
+@pytest.mark.parametrize("mode", ["first_k", "knn"])
+def test_pallas_strided_centers_down_conv(mode):
+    rng = np.random.default_rng(5)
+    g1, _ = make_grids(rng, b=2, h1=8, w1=16)
+    perm = jnp.asarray(rng.permutation(15)) if mode == "first_k" else None
+    idx_p, mask_p = pallas_window_select(
+        jnp.asarray(g1), jnp.asarray(g1), (3, 5), 4, 2.0,
+        center_stride=(2, 4), mode=mode, perm=perm, interpret=True,
+    )
+    idx_x, mask_x = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g1), (3, 5), 4, 2.0,
+        center_stride=(2, 4), mode=mode, perm=perm, impl="fast",
+    )
+    sets_equal(idx_p, mask_p, idx_x, mask_x)
+
+
+@pytest.mark.parametrize("mode", ["first_k", "knn"])
+def test_pallas_strided_source_up_conv(mode):
+    rng = np.random.default_rng(6)
+    g1, _ = make_grids(rng, b=2, h1=8, w1=16)
+    _, g2 = make_grids(rng, b=2, h2=4, w2=8)
+    perm = jnp.asarray(rng.permutation(9)) if mode == "first_k" else None
+    idx_p, mask_p = pallas_window_select(
+        jnp.asarray(g1), jnp.asarray(g2), (3, 3), 3, 6.0,
+        source_stride=(2, 2), mode=mode, perm=perm, interpret=True,
+    )
+    idx_x, mask_x = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g2), (3, 3), 3, 6.0,
+        source_stride=(2, 2), mode=mode, perm=perm, impl="fast",
+    )
+    sets_equal(idx_p, mask_p, idx_x, mask_x)
+
+
+def test_pallas_uneven_strided_centers():
+    rng = np.random.default_rng(7)
+    g1, _ = make_grids(rng, b=1, h1=7, w1=10)
+    idx_p, mask_p = pallas_window_select(
+        jnp.asarray(g1), jnp.asarray(g1), (3, 3), 4, 100.0,
+        center_stride=(2, 3), mode="knn", interpret=True,
+    )
+    idx_x, mask_x = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g1), (3, 3), 4, 100.0,
+        center_stride=(2, 3), mode="knn", impl="fast",
+    )
+    sets_equal(idx_p, mask_p, idx_x, mask_x)
+
+
 def test_pallas_uneven_tile_height():
     rng = np.random.default_rng(2)
     g1, g2 = make_grids(rng, b=1, h1=6, w1=8, h2=6, w2=8)
