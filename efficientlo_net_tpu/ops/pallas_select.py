@@ -186,6 +186,12 @@ def pallas_window_select(
     same set semantics as ``neighbors.select_neighbors`` (order within the K
     slots unspecified).
     """
+    # the selection op is non-differentiable (indices + mask; the reference
+    # CUDA ops had no gradient either) — cut tangents before the pallas_call
+    # so jax.grad never asks for its JVP
+    xyz1 = jax.lax.stop_gradient(xyz1)
+    xyz2 = jax.lax.stop_gradient(xyz2)
+
     b, h1, w1, _ = xyz1.shape
     _, h2, w2, _ = xyz2.shape
     kh, kw = kernel_size
@@ -265,4 +271,7 @@ def pallas_window_select(
     rows = jnp.clip(base_r[None, :, None] + dh, 0, h2 - 1)
     cols = jnp.mod(base_c[None, :, None] + dw, w2)
     idx = jnp.where(mask > 0, rows * w2 + cols, 0).astype(jnp.int32)
-    return idx, mask[..., None]
+    # indices/mask are non-differentiable (the CUDA ops had no gradient;
+    # reference call sites stop_gradient the mask) — and the pallas_call
+    # must never appear on a VJP path
+    return idx, jax.lax.stop_gradient(mask[..., None])
