@@ -36,6 +36,24 @@ def make_batch(dataset: OdometryDataset, indices: Sequence[int], rng, training: 
     }
 
 
+def device_prefetch(iterator, prepare, depth: int = 2):
+    """Overlap host->device transfer with device compute.
+
+    ``prepare`` maps a host batch to device arrays (``jax.device_put`` is
+    asynchronous, so issuing it ``depth`` batches ahead hides the PCIe/ICI
+    transfer behind the previous step's compute).
+    """
+    import collections
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(prepare(batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 class PrefetchLoader:
     """Iterates batches of dataset indices with worker threads + a bounded
     queue.  Deterministic given ``seed`` (each batch draws from a per-batch

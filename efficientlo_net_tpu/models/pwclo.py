@@ -28,6 +28,7 @@ from .layers import (
     DownConv,
     FlowPredictor,
     Head1x1,
+    UpConv,
     softmax_valid,
     valid_mask_from_xyz,
 )
@@ -119,8 +120,6 @@ class PWCLONet(nn.Module):
         ]
         # up_conv strides map level i to level i+1's grid: l2 uses the l3
         # transition stride, etc. (pwclo_model.py:247-251, 320-326, 394-398).
-        from .layers import UpConv
-
         self.refine_up_w = [
             UpConv(
                 kernel_size=cfg.up_kernel,

@@ -124,13 +124,14 @@ class Trainer:
         losses = []
         t_epoch = time.time()
         rng = jax.random.key(hash((self.seed, epoch)) % (2**31))
-        for bi, batch in enumerate(loader.epoch(epoch)):
+        from ..data.loader import device_prefetch
+
+        batches = device_prefetch(loader.epoch(epoch), self._device_batch)
+        for bi, batch in enumerate(batches):
             if limit_batches is not None and bi >= limit_batches:
                 break
             step_rng = jax.random.fold_in(rng, bi)
-            self.state, metrics = self.train_step(
-                self.state, self._device_batch(batch), step_rng
-            )
+            self.state, metrics = self.train_step(self.state, batch, step_rng)
             if bi % 50 == 0:
                 loss = float(jax.device_get(metrics["loss"]))
                 losses.append(loss)

@@ -1,0 +1,101 @@
+"""Data-parallel scaling benchmark: train-step throughput vs mesh size.
+
+BASELINE config 4 harness ("large-batch multi-chip data-parallel training"):
+run the sharded train step on meshes of 1..N devices with a proportionally
+growing global batch (weak scaling) and report frames/s + efficiency.
+
+On a real pod this measures ICI-gradient-reduction scaling; on a CPU host it
+exercises the same SPMD program over virtual devices
+(--xla_force_host_platform_device_count).
+
+Usage: python tools/scaling_bench.py [--devices 1 2 4 8] [--per-device-batch 2]
+       [--tiny] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--devices", nargs="+", type=int, default=[1, 2, 4, 8])
+    p.add_argument("--per-device-batch", type=int, default=2)
+    p.add_argument("--tiny", action="store_true", help="tiny model config")
+    p.add_argument("--cpu", action="store_true", help="force CPU virtual devices")
+    p.add_argument("--steps", type=int, default=10)
+    args = p.parse_args()
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={max(args.devices)}"
+            ).strip()
+        os.environ["ELO_NEIGHBOR_IMPL"] = "fast"
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from efficientlo_net_tpu.config import ModelConfig, TrainConfig, tiny_model_config
+    from efficientlo_net_tpu.data.synthetic import synthetic_batch
+    from efficientlo_net_tpu.models.pwclo import PWCLONet
+    from efficientlo_net_tpu.parallel.data_parallel import (
+        make_sharded_train_step,
+        replicate_state,
+    )
+    from efficientlo_net_tpu.parallel.mesh import make_mesh, shard_batch, replicated
+    from efficientlo_net_tpu.training.state import create_train_state
+
+    cfg = tiny_model_config() if args.tiny else ModelConfig()
+    model = PWCLONet(cfg)
+    rng = np.random.default_rng(0)
+
+    results = {}
+    for n in args.devices:
+        devs = jax.devices()[:n]
+        if len(devs) < n:
+            print(f"skip n={n}: only {len(devs)} devices")
+            continue
+        bsz = n * args.per_device_batch
+        tcfg = TrainConfig(batch_size=bsz)
+        mesh = make_mesh(devs)
+        state = replicate_state(
+            create_train_state(model, cfg, tcfg, jax.random.key(0)), mesh
+        )
+        step = make_sharded_train_step(model, cfg, tcfg, mesh)
+        batch = shard_batch(
+            mesh,
+            {k: jnp.asarray(v) for k, v in
+             synthetic_batch(rng, bsz, cfg.sensor, training=True).items()},
+        )
+        key = jax.device_put(jax.random.key(1), replicated(mesh))
+
+        state, m = step(state, batch, key)  # compile
+        jax.block_until_ready(m["loss"])
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, m = step(state, batch, key)
+        _ = float(jax.device_get(m["loss"]))  # sync through the dependency
+        dt = (time.perf_counter() - t0) / args.steps
+        fps = bsz / dt
+        results[n] = fps
+        base = results[min(results)]
+        eff = fps / (base * n / min(results)) * 100
+        print(
+            f"devices={n:2d} batch={bsz:3d} step={dt * 1e3:7.1f} ms "
+            f"throughput={fps:8.1f} frames/s efficiency={eff:5.1f}%",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
