@@ -36,16 +36,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decay_rate", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_mesh", action="store_true", help="disable multi-device DP")
+    p.add_argument(
+        "--coordinator", default=None,
+        help="multi-host: jax.distributed coordinator address "
+             "(or set JAX_COORDINATOR_ADDRESS)",
+    )
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
-    import dataclasses
-
     from .config import ModelConfig, SensorConfig, TrainConfig
+    from .parallel.distributed import initialize_distributed
     from .training.trainer import Trainer
+
+    initialize_distributed(args.coordinator)
 
     sensor = SensorConfig(
         height=args.num_H_input, width=args.num_W_input, num_points=args.num_points

@@ -160,11 +160,21 @@ class Trainer:
     def validate(self) -> float:
         params = jax.device_get(self.state.params)
         stats = jax.device_get(self.state.batch_stats)
+        # multi-host: each host evaluates its share of the sequences and the
+        # scalar is aggregated across processes
+        from ..parallel.distributed import (
+            aggregate_mean_t_rel,
+            shard_sequences_by_host,
+        )
+
+        local_seqs = shard_sequences_by_host(self.val_list)
         results = evaluate_sequences(
-            self.eval_step, params, stats, self.dataset, self.val_list,
+            self.eval_step, params, stats, self.dataset, local_seqs,
             gt_dir=self.gt_dir, result_dir=os.path.join(self.log_dir, "val"),
             batch_size=self.train_cfg.batch_size, log=self.logger.log,
         )
+        if jax.process_count() > 1:
+            return aggregate_mean_t_rel(results)
         return mean_t_rel(results)
 
     def fit(self, max_epoch: Optional[int] = None) -> None:
