@@ -14,10 +14,19 @@ reference's era, used here as the documented stand-in baseline.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# persistent compile cache: the full jitted pipeline takes minutes to build
+# through the remote-TPU toolchain on a cold cache, milliseconds warm
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 12.5
 BATCH = 8

@@ -24,8 +24,7 @@ Local update: T_i <- T_i Exp(delta_i).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

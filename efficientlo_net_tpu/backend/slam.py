@@ -19,7 +19,7 @@ per-frame relative poses (the PWCLO network's l0 output); this module:
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax.numpy as jnp

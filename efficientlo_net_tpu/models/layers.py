@@ -14,12 +14,11 @@ up_conv, cost_volume, flow_predictor) and ``model_util.py:319-343``
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
-import numpy as np
 
 from ..ops import neighbors as nbr
 

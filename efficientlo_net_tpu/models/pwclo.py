@@ -14,7 +14,7 @@ Level bookkeeping (reference pwclo_model.py:42-50, full-res HDL-64 config):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -9,11 +9,11 @@ single-GPU only (SURVEY.md C23).
 from __future__ import annotations
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..config import ModelConfig, TrainConfig
 from ..training.step import make_train_step
-from .mesh import DATA_AXIS, batch_sharding, replicated
+from .mesh import batch_sharding, replicated
 
 
 def make_sharded_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig, mesh: Mesh):

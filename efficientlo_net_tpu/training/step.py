@@ -8,11 +8,9 @@ arrive as device arrays and buffers are donated.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict
 
 import jax
-import jax.numpy as jnp
 
 from ..config import ModelConfig, TrainConfig
 from ..models.losses import total_loss
