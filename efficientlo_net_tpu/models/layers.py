@@ -145,6 +145,7 @@ class DownConv(nn.Module):
         xyz_group, feat_group, mask = nbr.select_and_group(
             xyz_proj, feat_proj, self.kernel_size, self.k, self.distance,
             center_stride=tuple(stride_hw), mode=nbr.FIRST_K, perm=perm,
+            fused=not training,  # fused emission carries no value gradients
         )
         mask = jax.lax.stop_gradient(mask)
 

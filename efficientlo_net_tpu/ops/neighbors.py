@@ -402,14 +402,17 @@ def select_and_group(
     center_stride: Tuple[int, int] = (1, 1),
     mode: str = FIRST_K,
     perm: Optional[jnp.ndarray] = None,
+    fused: bool = False,
 ):
     """Fused select + neighbor grouping on a single grid (down_conv path).
 
     Returns (grouped_xyz (B,N,K,3), grouped_feat (B,N,K,C), mask (B,N,K,1)).
-    Selection semantics identical to ``select_neighbors``; values are pulled
-    from the window-candidate tensor with an in-window ``take_along_axis``
-    instead of a flat image gather — much cheaper on TPU when the source
-    grid is large (the down_conv-from-dense case).
+    Selection semantics identical to ``select_neighbors``.
+
+    ``fused=True`` (inference only) emits the grouped values inside the
+    Pallas kernel — no K-wide gather, but the values carry no gradient.
+    Training uses select + gather so feature gradients flow into the source
+    image exactly like the reference's ``tf.gather_nd``.
     """
     import jax as _jax
     import os as _os
@@ -418,8 +421,13 @@ def select_and_group(
         _jax.default_backend() == "tpu"
         and _os.environ.get("ELO_NEIGHBOR_IMPL", "auto") in ("auto", "pallas")
     ):
-        from .pallas_select import pallas_window_select
+        from .pallas_select import pallas_select_and_group, pallas_window_select
 
+        if fused:
+            return pallas_select_and_group(
+                xyz, feats, tuple(kernel_size), k, float(distance),
+                center_stride=tuple(center_stride), mode=mode, perm=perm,
+            )
         idx, mask = pallas_window_select(
             xyz, xyz, tuple(kernel_size), k, float(distance),
             center_stride=tuple(center_stride), mode=mode, perm=perm,

@@ -95,10 +95,37 @@ def _kernel(pos_ref, xyz1_ref, src_ref, top_ref, mask_ref,
     mask_ref[0] = (score_scr[...] > _NEG).astype(jnp.float32)
 
 
+def _emit_kernel(slot_ref, src_ref, val_ref,
+                 *, kh, kw, cg, tile_h, n_w, dw_phase, dw_col0):
+    """Value emission for the grouped (down_conv) path.
+
+    Re-streams the window and writes each candidate's channels into the
+    slots that selected it — O(T*K*C) VMEM vector ops instead of a K-wide
+    random gather from the dense grid (the dominant down_conv cost).
+    Channel groups ride the grid so the source block stays inside VMEM at
+    full resolution.
+    """
+    slot = slot_ref[0]  # (K, TILE_H, n_w)
+    for c in range(cg):
+        val_ref[0, c] = jnp.zeros(slot.shape, dtype=jnp.float32)
+
+    def row_body(dh, _):
+        for dw in range(kw):
+            p, c0 = dw_phase[dw], dw_col0[dw]
+            t = dh * kw + dw
+            match = slot == t
+            for c in range(cg):
+                slab = src_ref[0, c, dh, p, :, c0 : c0 + n_w]
+                val_ref[0, c] = jnp.where(match, slab[None], val_ref[0, c])
+        return 0
+
+    jax.lax.fori_loop(0, kh, row_body, 0)
+
+
 def _prebuild(xyz2, kernel_size, center_stride, source_stride, out_hw):
-    """Rearrange the padded source into (B, 3, kh, P, n_h, Wc) plus the
+    """Rearrange the padded source into (B, C, kh, P, n_h, Wc) plus the
     per-dw (phase, col0) tables — pure slicing, exact."""
-    b, h2, w2, _ = xyz2.shape
+    b, h2, w2, n_ch = xyz2.shape
     kh, kw = kernel_size
     csh, csw = center_stride
     sh, sw = source_stride
@@ -125,7 +152,7 @@ def _prebuild(xyz2, kernel_size, center_stride, source_stride, out_hw):
         pad_to = -(-wp // csw) * csw
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_to - wp)))
         wc = pad_to // csw
-        x = x.reshape(b, 3, x.shape[2], wc, csw)
+        x = x.reshape(b, n_ch, x.shape[2], wc, csw)
         x = jnp.moveaxis(x, -1, 2)  # (B, 3, csw, Hp, Wc)
         p_count = csw
         dw_phase = [dw % csw for dw in range(kw)]
@@ -158,6 +185,57 @@ def _prebuild(xyz2, kernel_size, center_stride, source_stride, out_hw):
         stacked = stacked[:, :, :, None]  # (B, 3, kh, 1, n_h, Wc)
 
     return stacked, tuple(dw_phase), tuple(dw_col0), wc
+
+
+def _pick_tile_h(n_h, tile_h):
+    """Mosaic: sublane block dim must be a multiple of 8 or the whole axis."""
+    if n_h % 8 == 0:
+        tile_h = max(8, min(tile_h - tile_h % 8, n_h))
+        while n_h % tile_h:
+            tile_h -= 8
+        return tile_h
+    return n_h
+
+
+def _run_select(pos, centers, src, *, kh, kw, k, distance, mode, tile_h,
+                n_h, n_w, wc, p_count, dw_phase, dw_col0, interpret):
+    b = centers.shape[0]
+    grid = (b, n_h // tile_h)
+    kernel = partial(
+        _kernel, kh=kh, kw=kw, k=k, distance=float(distance), mode=mode,
+        tile_h=tile_h, n_w=n_w, dw_phase=dw_phase, dw_col0=dw_col0,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 3, tile_h, n_w), lambda bi, i, _p: (bi, 0, i, 0),
+                ),
+                # channel block 0:3 — a larger prebuilt (xyz ++ feats) tensor
+                # feeds only its coordinate channels to the selection
+                pl.BlockSpec(
+                    (1, 3, kh, p_count, tile_h, wc),
+                    lambda bi, i, _p: (bi, 0, 0, 0, i, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, k, tile_h, n_w), lambda bi, i, _p: (bi, 0, i, 0)),
+                pl.BlockSpec((1, k, tile_h, n_w), lambda bi, i, _p: (bi, 0, i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((k, tile_h, n_w), jnp.float32),
+                pltpu.VMEM((k, tile_h, n_w), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k, n_h, n_w), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, n_h, n_w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(pos, centers, src)
 
 
 @partial(
@@ -213,49 +291,13 @@ def pallas_window_select(
     else:
         pos = jnp.arange(t, dtype=jnp.int32)
 
-    # Mosaic: sublane block dim must be a multiple of 8 or the whole axis
-    if n_h % 8 == 0:
-        tile_h = max(8, min(tile_h - tile_h % 8, n_h))
-        while n_h % tile_h:
-            tile_h -= 8
-    else:
-        tile_h = n_h
+    tile_h = _pick_tile_h(n_h, tile_h)
 
-    grid = (b, n_h // tile_h)
-    kernel = partial(
-        _kernel, kh=kh, kw=kw, k=k, distance=float(distance), mode=mode,
-        tile_h=tile_h, n_w=n_w, dw_phase=dw_phase, dw_col0=dw_col0,
+    top_t, mask = _run_select(
+        pos, centers, src, kh=kh, kw=kw, k=k, distance=distance, mode=mode,
+        tile_h=tile_h, n_h=n_h, n_w=n_w, wc=wc, p_count=p_count,
+        dw_phase=dw_phase, dw_col0=dw_col0, interpret=interpret,
     )
-
-    top_t, mask = pl.pallas_call(
-        kernel,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 3, tile_h, n_w), lambda bi, i, _p: (bi, 0, i, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 3, kh, p_count, tile_h, wc),
-                    lambda bi, i, _p: (bi, 0, 0, 0, i, 0),
-                ),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, k, tile_h, n_w), lambda bi, i, _p: (bi, 0, i, 0)),
-                pl.BlockSpec((1, k, tile_h, n_w), lambda bi, i, _p: (bi, 0, i, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((k, tile_h, n_w), jnp.float32),
-                pltpu.VMEM((k, tile_h, n_w), jnp.int32),
-            ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((b, k, n_h, n_w), jnp.int32),
-            jax.ShapeDtypeStruct((b, k, n_h, n_w), jnp.float32),
-        ],
-        interpret=interpret,
-    )(pos, centers, src)
 
     # (B, K, n_h, n_w) -> (B, N, K); window slot -> flat grid-2 index
     n = n_h * n_w
@@ -275,3 +317,106 @@ def pallas_window_select(
     # reference call sites stop_gradient the mask) — and the pallas_call
     # must never appear on a VJP path
     return idx, jax.lax.stop_gradient(mask[..., None])
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "kernel_size", "k", "distance", "center_stride", "mode", "tile_h",
+        "interpret",
+    ),
+)
+def pallas_select_and_group(
+    xyz: jnp.ndarray,
+    feats: jnp.ndarray,
+    kernel_size: Tuple[int, int],
+    k: int,
+    distance: float,
+    center_stride: Tuple[int, int] = (1, 1),
+    mode: str = FIRST_K,
+    perm: Optional[jnp.ndarray] = None,
+    tile_h: int = 8,
+    interpret: bool = False,
+):
+    """Fused select + neighbor grouping on a single grid (down_conv path).
+
+    Returns (grouped_xyz (B,N,K,3), grouped_feat (B,N,K,C), mask (B,N,K,1)).
+    Values are emitted by a second in-VMEM window pass matched against the
+    selected slots — no K-wide random gather from the dense grid.
+    Note: the emitted *values* are non-differentiable (stop_gradient'd
+    inputs), matching the masked-gather semantics only under the reference's
+    stop_gradient usage; use select + ``gather_by_index`` when value
+    gradients w.r.t. the source image are required.
+    """
+    xyz = jax.lax.stop_gradient(xyz)
+    feats = jax.lax.stop_gradient(feats)
+
+    b, h1, w1, _ = xyz.shape
+    kh, kw = kernel_size
+    t = kh * kw
+    csh, csw = center_stride
+    n_h = -(-h1 // csh)
+    n_w = -(-w1 // csw)
+    c_feat = feats.shape[-1]
+    c_total = 3 + c_feat
+
+    centers = jnp.moveaxis(xyz[:, ::csh, ::csw], -1, 1)
+    src_all = jnp.concatenate([xyz, feats], axis=-1)
+    src, dw_phase, dw_col0, wc = _prebuild(
+        src_all, kernel_size, center_stride, (1, 1), (n_h, n_w)
+    )
+    p_count = src.shape[3]
+
+    if perm is not None:
+        pos = jnp.argsort(perm).astype(jnp.int32)
+    else:
+        pos = jnp.arange(t, dtype=jnp.int32)
+
+    tile_h = _pick_tile_h(n_h, tile_h)
+
+    top_t, mask = _run_select(
+        pos, centers, src, kh=kh, kw=kw, k=k, distance=distance, mode=mode,
+        tile_h=tile_h, n_h=n_h, n_w=n_w, wc=wc, p_count=p_count,
+        dw_phase=dw_phase, dw_col0=dw_col0, interpret=interpret,
+    )
+
+    # channel groups: keep the per-program source block within VMEM; pad the
+    # channel axis up to a group multiple (padding channels emit zeros and
+    # are sliced away)
+    budget = 6 * 1024 * 1024
+    cg = max(1, min(8, budget // max(kh * p_count * tile_h * wc * 4, 1)))
+    c_padded = -(-c_total // cg) * cg
+    if c_padded != c_total:
+        src = jnp.pad(
+            src, ((0, 0), (0, c_padded - c_total), (0, 0), (0, 0), (0, 0), (0, 0))
+        )
+    n_groups = c_padded // cg
+
+    grid = (b, n_h // tile_h, n_groups)
+    kernel = partial(
+        _emit_kernel, kh=kh, kw=kw, cg=cg, tile_h=tile_h, n_w=n_w,
+        dw_phase=dw_phase, dw_col0=dw_col0,
+    )
+    vals = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, k, tile_h, n_w), lambda bi, i, ci: (bi, 0, i, 0)),
+            pl.BlockSpec(
+                (1, cg, kh, p_count, tile_h, wc),
+                lambda bi, i, ci: (bi, ci, 0, 0, i, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, cg, k, tile_h, n_w), lambda bi, i, ci: (bi, ci, 0, i, 0)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, c_padded, k, n_h, n_w), jnp.float32),
+        interpret=interpret,
+    )(top_t, src)
+
+    n = n_h * n_w
+    mask_nk = jnp.moveaxis(mask, 1, -1).reshape(b, n, k)[..., None]
+    vals = jnp.transpose(vals[:, :c_total], (0, 3, 4, 2, 1)).reshape(b, n, k, c_total)
+    vals = vals * mask_nk
+    mask_out = jax.lax.stop_gradient(mask_nk)
+    return vals[..., :3], vals[..., 3:], mask_out

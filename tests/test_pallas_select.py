@@ -92,6 +92,39 @@ def test_pallas_strided_source_up_conv(mode):
     sets_equal(idx_p, mask_p, idx_x, mask_x)
 
 
+@pytest.mark.parametrize("mode", ["first_k", "knn"])
+def test_pallas_select_and_group_matches_gather(mode):
+    from efficientlo_net_tpu.ops.pallas_select import pallas_select_and_group
+
+    rng = np.random.default_rng(11)
+    g1, _ = make_grids(rng, b=2, h1=8, w1=16)
+    feats = rng.standard_normal((2, 8, 16, 5)).astype(np.float32)
+    perm = jnp.asarray(rng.permutation(15)) if mode == "first_k" else None
+
+    gx, gf, gm = pallas_select_and_group(
+        jnp.asarray(g1), jnp.asarray(feats), (3, 5), 4, 2.0,
+        center_stride=(2, 4), mode=mode, perm=perm, interpret=True,
+    )
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g1), (3, 5), 4, 2.0,
+        center_stride=(2, 4), mode=mode, perm=perm, impl="fast",
+    )
+    gm = np.asarray(gm)
+    np.testing.assert_array_equal(gm.sum(2), np.asarray(mask).sum(2))
+    # value multisets per center must match the gathered ones (K order free)
+    want = np.asarray(
+        N.gather_by_index(
+            jnp.concatenate([jnp.asarray(g1), jnp.asarray(feats)], -1), idx
+        )
+    ) * np.asarray(mask)
+    got = np.concatenate([np.asarray(gx), np.asarray(gf)], -1)
+    for bi in range(got.shape[0]):
+        for ni in range(got.shape[1]):
+            a = np.sort(got[bi, ni], axis=0)
+            b_ = np.sort(want[bi, ni], axis=0)
+            np.testing.assert_allclose(a, b_, atol=1e-6)
+
+
 def test_pallas_uneven_strided_centers():
     rng = np.random.default_rng(7)
     g1, _ = make_grids(rng, b=1, h1=7, w1=10)
