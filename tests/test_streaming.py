@@ -1,0 +1,47 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from efficientlo_net_tpu.config import tiny_model_config
+from efficientlo_net_tpu.evaluation.streaming import OdometryStream
+from efficientlo_net_tpu.models.pwclo import PWCLONet
+from efficientlo_net_tpu.ops.projection import project_to_range_image
+from tests.test_model import synthetic_scan
+
+CFG = tiny_model_config()
+
+
+def test_stream_matches_pairwise_forward():
+    rng = np.random.default_rng(0)
+    model = PWCLONet(CFG)
+    scans = [synthetic_scan(rng, CFG.sensor.num_points) for _ in range(3)]
+    h, w = CFG.sensor.height, CFG.sensor.width
+    p0, _ = project_to_range_image(jnp.asarray(scans[0][None]), None, h, w, CFG.sensor)
+    variables = model.init(
+        {"params": jax.random.key(0), "neighbor": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        p0, p0, training=False,
+    )
+
+    stream = OdometryStream(model, variables, CFG)
+    outs = [stream.push(s) for s in scans]
+
+    # frame 0 pairs with itself; frames 1,2 pair with their predecessor —
+    # must equal the batch-pairwise forward on the same projections
+    projs = [
+        project_to_range_image(jnp.asarray(s[None]), None, h, w, CFG.sensor)[0]
+        for s in scans
+    ]
+    for i, prev in [(1, 0), (2, 1)]:
+        out = model.apply(variables, projs[i], projs[prev], training=False)
+        np.testing.assert_allclose(
+            outs[i][0], np.asarray(out["q"][0])[0], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            outs[i][1], np.asarray(out["t"][0])[0], atol=1e-5
+        )
+    # reset clears the cache
+    stream.reset()
+    q, t = stream.push(scans[2])
+    out_self = model.apply(variables, projs[2], projs[2], training=False)
+    np.testing.assert_allclose(q, np.asarray(out_self["q"][0])[0], atol=1e-5)
