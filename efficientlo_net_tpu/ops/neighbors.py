@@ -211,6 +211,21 @@ def _select_fast(
 # centers
 # ---------------------------------------------------------------------------
 
+def fill_empty_slots_with_first(idx, mask):
+    """The CUDA ops' ``flag_copy=1`` mode: duplicate the first selected
+    neighbor into every empty slot (fused_conv_g.cu:126-138,179-191), giving
+    a full-K mask whenever at least one neighbor exists.  Unused by every
+    reference call site (always ``flag_copy=0``, pointnet_util.py:51,108,
+    199,274) but provided for semantic completeness."""
+    has_any = mask[:, :, :1, :] > 0  # slot 0 filled iff any hit
+    first = idx[:, :, :1]
+    filled = jnp.where(mask[..., 0] > 0, idx, first)
+    new_mask = jnp.where(
+        has_any, jnp.ones_like(mask), mask
+    )
+    return jnp.where(has_any[..., 0], filled, idx), new_mask
+
+
 @partial(jax.jit, static_argnames=("kernel_size", "k", "distance", "stride", "mode"))
 def _select_reference(xyz1, xyz2, perm, centers_hw, kernel_size, k, distance, stride, mode):
     b, h1, w1, _ = xyz1.shape

@@ -165,6 +165,28 @@ def test_select_and_group_matches_select_plus_gather(mode):
     np.testing.assert_allclose(np.asarray(gf), want_f, atol=1e-6)
 
 
+def test_fill_empty_slots_flag_copy_semantics():
+    rng = np.random.default_rng(23)
+    g1, g2 = make_grids(rng)
+    idx, mask = N.select_neighbors(
+        jnp.asarray(g1), jnp.asarray(g2), (3, 3), 4, 1.0, mode="knn"
+    )
+    fidx, fmask = N.fill_empty_slots_with_first(idx, mask)
+    idx, mask = np.asarray(idx), np.asarray(mask)
+    fidx, fmask = np.asarray(fidx), np.asarray(fmask)
+    for b in range(idx.shape[0]):
+        for n in range(idx.shape[1]):
+            if mask[b, n, 0, 0] > 0:
+                # all slots filled; empties duplicated from slot 0
+                assert fmask[b, n].min() == 1.0
+                for kk in range(idx.shape[2]):
+                    expect = idx[b, n, kk] if mask[b, n, kk, 0] > 0 else idx[b, n, 0]
+                    assert fidx[b, n, kk] == expect
+            else:
+                # no hits at all: unchanged
+                np.testing.assert_array_equal(fmask[b, n], mask[b, n])
+
+
 def test_gather_by_index():
     rng = np.random.default_rng(11)
     img = rng.standard_normal((2, 4, 8, 5)).astype(np.float32)
