@@ -32,20 +32,26 @@ SEQ_NAMES = [f"{i:02d}" for i in range(22)]
 
 
 def read_calib_file(path: str) -> dict:
-    """KITTI calib parser (reference kitti_dataset.py:109-126)."""
-    float_chars = set("0123456789.e+- ")
-    data = {}
+    """Parse a KITTI ``calib.txt`` into ``{key: np.ndarray | str}``.
+
+    Each line is ``KEY: v0 v1 ... vN``. Values that parse as a flat float
+    vector become float64 arrays; anything else is kept as the raw string.
+    (Same observable behavior as reference kitti_dataset.py:109-126.)
+    """
+    entries: dict = {}
     with open(path, "r") as f:
-        for line in f.readlines():
-            key, value = line.split(":", 1)
-            value = value.strip()
-            data[key] = value
-            if float_chars.issuperset(value):
-                try:
-                    data[key] = np.array(list(map(float, value.split(" "))))
-                except ValueError:
-                    pass
-    return data
+        for line in f:
+            line = line.strip()
+            if not line or ":" not in line:
+                continue
+            key, _, payload = line.partition(":")
+            payload = payload.strip()
+            tokens = payload.split()
+            try:
+                entries[key] = np.array([float(tok) for tok in tokens])
+            except ValueError:
+                entries[key] = payload
+    return entries
 
 
 @lru_cache(maxsize=32)

@@ -101,9 +101,10 @@ class PrefetchLoader:
 
         results = {}
         lock = threading.Lock()
+        stop = threading.Event()  # set when the consumer abandons the epoch
 
         def worker():
-            while True:
+            while not stop.is_set():
                 try:
                     bi, idxs = task_q.get_nowait()
                 except queue.Empty:
@@ -112,7 +113,13 @@ class PrefetchLoader:
                 batch = make_batch(self.dataset, idxs, brng, self.training)
                 with lock:
                     results[bi] = batch
-                out_q.put(bi)
+                # bounded put must not deadlock a worker after abandonment
+                while not stop.is_set():
+                    try:
+                        out_q.put(bi, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -133,5 +140,11 @@ class PrefetchLoader:
                 for batch in ready:
                     yield batch
         finally:
+            stop.set()
+            try:
+                while True:  # unblock any worker mid-put
+                    out_q.get_nowait()
+            except queue.Empty:
+                pass
             for t in threads:
-                t.join(timeout=0.1)
+                t.join(timeout=2.0)

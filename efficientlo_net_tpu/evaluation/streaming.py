@@ -31,7 +31,20 @@ class OdometryStream:
 
         @jax.jit
         def _project(points):
-            img, _ = project_to_range_image(points, None, h, w, cfg.sensor)
+            # Match the training distribution: validity mask + planar crop
+            # (models/preprocess.py; reference model_util.py:380-383) before
+            # projecting.  The crop also makes the fast "packed" method safe.
+            import jax.numpy as jnp
+
+            valid = jnp.any(points != 0.0, axis=-1)
+            keep = valid & (
+                jnp.linalg.norm(points[..., :2], axis=-1)
+                <= cfg.sensor.max_planar_radius
+            )
+            cropped = points * keep[..., None]
+            img, _ = project_to_range_image(
+                cropped, None, h, w, cfg.sensor, method="packed"
+            )
             return img
 
         @jax.jit

@@ -259,8 +259,9 @@ class PWCLONet(nn.Module):
 
         for li, xyz1_proj, feat1, fp2, xyz2_proj, (hl, wl) in level_data:
             warped = self._warp(xyz1_proj, q_coarse, t_coarse)  # (B, N, 3)
+            # warped points derive from the 35 m-cropped input -> "packed" safe
             xyz_warp_proj, feat_warp_proj = project_to_range_image(
-                warped, feat1, hl, wl, cfg.sensor
+                warped, feat1, hl, wl, cfg.sensor, method="packed"
             )
             feat_warp = feat_warp_proj.reshape(b, hl * wl, -1)
             mask_warp = valid_mask_from_xyz(xyz_warp_proj.reshape(b, hl * wl, 3))

@@ -1,9 +1,17 @@
-"""Orbax-based checkpointing with best-metric retention.
+"""Orbax-based checkpointing with best-metric retention and resume metadata.
 
 Reference equivalent: ``tf.train.Saver`` full-graph save/restore with
 best-model directories named by validation error (main.py:179,194-197,
-227-249).  Here: params / batch_stats / opt_state / step as one pytree, plus
-a ``best`` alias updated when the validation t_rel improves.
+227-249).  Here: params / batch_stats / opt_state / step as one pytree, a
+``meta_{step}.json`` sidecar recording the epoch (so ``Trainer.fit`` can
+resume at the right epoch — the reference always restarts at epoch 0), and a
+``best.json`` alias updated when the validation t_rel improves.
+
+Multi-host: the train state is fully replicated (device_get'd to host
+numpy before saving), so persistence is a process-local file write — all
+writes are gated on ``jax.process_index() == 0`` and followed by a global
+barrier so non-zero processes cannot race ahead and read a half-written
+checkpoint.
 """
 
 from __future__ import annotations
@@ -19,10 +27,23 @@ import orbax.checkpoint as ocp
 from .state import TrainState
 
 
+def _barrier(name: str) -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
 class CheckpointManager:
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
-        os.makedirs(self.directory, exist_ok=True)
+        if _is_primary():
+            os.makedirs(self.directory, exist_ok=True)
+        _barrier("ckpt_dir")
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
@@ -31,17 +52,30 @@ class CheckpointManager:
         )
         self._best_path = os.path.join(self.directory, "best.json")
 
-    def save(self, state: TrainState, metrics: Optional[dict] = None) -> None:
+    def _meta_path(self, step: int) -> str:
+        return os.path.join(self.directory, f"meta_{step}.json")
+
+    def save(
+        self,
+        state: TrainState,
+        metrics: Optional[dict] = None,
+        epoch: Optional[int] = None,
+    ) -> int:
+        """Persist the state once (idempotent per step). Returns the step."""
         step = int(jax.device_get(state.step))
-        self._mgr.save(
-            step, args=ocp.args.StandardSave(jax.device_get(state))
-        )
-        self._mgr.wait_until_finished()
-        if metrics:
-            with open(
-                os.path.join(self.directory, f"metrics_{step}.json"), "w"
-            ) as f:
-                json.dump(metrics, f)
+        if _is_primary():
+            if step not in (self._mgr.all_steps() or []):
+                self._mgr.save(
+                    step, args=ocp.args.StandardSave(jax.device_get(state))
+                )
+                self._mgr.wait_until_finished()
+            meta = {"epoch": epoch}
+            if metrics:
+                meta.update(metrics)
+            with open(self._meta_path(step), "w") as f:
+                json.dump(meta, f)
+        _barrier("ckpt_save")
+        return step
 
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
         step = step if step is not None else self._mgr.latest_step()
@@ -53,6 +87,14 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def metadata(self, step: Optional[int] = None) -> dict:
+        """Sidecar metadata (epoch, metrics) for a step; {} if absent."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None or not os.path.exists(self._meta_path(step)):
+            return {}
+        with open(self._meta_path(step)) as f:
+            return json.load(f)
+
     # --- best-model tracking (reference main.py:227-249) -----------------
     def best_error(self) -> float:
         if os.path.exists(self._best_path):
@@ -60,11 +102,23 @@ class CheckpointManager:
                 return json.load(f)["val_t_rel"]
         return float("inf")
 
-    def maybe_save_best(self, state: TrainState, val_t_rel: float) -> bool:
+    def mark_best(self, step: int, val_t_rel: float) -> None:
+        """Point ``best.json`` at an already-saved step (process-0 only)."""
+        if _is_primary():
+            with open(self._best_path, "w") as f:
+                json.dump({"val_t_rel": val_t_rel, "step": step}, f)
+        _barrier("ckpt_best")
+
+    def maybe_save_best(
+        self,
+        state: TrainState,
+        val_t_rel: float,
+        epoch: Optional[int] = None,
+    ) -> bool:
+        """Save + mark best when ``val_t_rel`` improves. Every process calls
+        this with the same (host-aggregated) value; only process 0 writes."""
         if not np.isfinite(val_t_rel) or val_t_rel >= self.best_error():
             return False
-        step = int(jax.device_get(state.step))
-        self.save(state, metrics={"val_t_rel": val_t_rel})
-        with open(self._best_path, "w") as f:
-            json.dump({"val_t_rel": val_t_rel, "step": step}, f)
+        step = self.save(state, metrics={"val_t_rel": val_t_rel}, epoch=epoch)
+        self.mark_best(step, val_t_rel)
         return True

@@ -27,8 +27,9 @@ def _forward_inputs(batch, sensor):
         max_planar_radius=sensor.max_planar_radius,
     )
     h, w = sensor.height, sensor.width
-    p1, _ = project_to_range_image(pc1, None, h, w, sensor)
-    p2, _ = project_to_range_image(pc2, None, h, w, sensor)
+    # "packed" is safe here: preprocess() has already cropped to <= 35 m
+    p1, _ = project_to_range_image(pc1, None, h, w, sensor, method="packed")
+    p2, _ = project_to_range_image(pc2, None, h, w, sensor, method="packed")
     # input projections carry no gradient (reference pwclo_model.py:66-67)
     return jax.lax.stop_gradient(p1), jax.lax.stop_gradient(p2), q_gt, t_gt
 

@@ -63,6 +63,7 @@ class Trainer:
         self.train_list = list(train_list)
         self.val_list = list(val_list)
         self.seed = seed
+        self.start_epoch = 0  # advanced by restore()
 
         self.dataset = OdometryDataset(
             data_root, num_points=model_cfg.sensor.num_points, gt_pose_dir=self.gt_dir
@@ -105,7 +106,14 @@ class Trainer:
 
     def restore(self, step: Optional[int] = None) -> None:
         self.state = self.ckpt.restore(self.state, step)
-        self.logger.log(f"restored checkpoint at step {int(self.state.step)}")
+        meta = self.ckpt.metadata(step)
+        saved_epoch = meta.get("epoch")
+        if saved_epoch is not None:
+            self.start_epoch = int(saved_epoch) + 1
+        self.logger.log(
+            f"restored checkpoint at step {int(self.state.step)} "
+            f"(resuming at epoch {self.start_epoch})"
+        )
 
     def _device_batch(self, batch):
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -179,12 +187,18 @@ class Trainer:
 
     def fit(self, max_epoch: Optional[int] = None) -> None:
         max_epoch = max_epoch or self.train_cfg.max_epoch
-        for epoch in range(max_epoch):
+        for epoch in range(self.start_epoch, max_epoch):
             self.logger.log(f"**** EPOCH {epoch:03d} ****")
             self.train_one_epoch(epoch)
             # validation cadence: reference main.py:227-249
             if (epoch % 20 == 0 and epoch <= 100) or (epoch % 2 == 0 and epoch > 100):
                 val = self.validate()
                 self.logger.log(f"epoch {epoch} val t_rel {val:.4f}")
-                if self.ckpt.maybe_save_best(self.state, val):
+                # always persist latest (resume point), then mark best if improved
+                is_best = np.isfinite(val) and val < self.ckpt.best_error()
+                step = self.ckpt.save(
+                    self.state, metrics={"val_t_rel": val}, epoch=epoch
+                )
+                if is_best:
+                    self.ckpt.mark_best(step, val)
                     self.logger.log(f"new best model saved (val t_rel {val:.4f})")

@@ -40,3 +40,31 @@ def test_best_model_retention(tmp_path):
     assert mgr.maybe_save_best(state, 1.5)      # better: kept
     assert mgr.best_error() == 1.5
     assert not mgr.maybe_save_best(state, float("nan"))
+
+
+def test_epoch_metadata_and_resume(tmp_path):
+    model = PWCLONet(CFG)
+    state = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    state = state.replace(step=jnp.asarray(42, dtype=jnp.int32))
+
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    step = mgr.save(state, metrics={"val_t_rel": 1.25}, epoch=3)
+    assert step == 42
+
+    meta = mgr.metadata()
+    assert meta["epoch"] == 3
+    assert meta["val_t_rel"] == 1.25
+
+    # idempotent per-step save: second call must not fail and keeps metadata
+    step2 = mgr.save(state, metrics={"val_t_rel": 1.20}, epoch=3)
+    assert step2 == 42
+    assert mgr.metadata(42)["val_t_rel"] == 1.20
+
+
+def test_mark_best_points_at_saved_step(tmp_path):
+    model = PWCLONet(CFG)
+    state = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    step = mgr.save(state, epoch=0)
+    mgr.mark_best(step, 0.9)
+    assert mgr.best_error() == 0.9

@@ -27,11 +27,19 @@ def test_stream_matches_pairwise_forward():
     outs = [stream.push(s) for s in scans]
 
     # frame 0 pairs with itself; frames 1,2 pair with their predecessor —
-    # must equal the batch-pairwise forward on the same projections
-    projs = [
-        project_to_range_image(jnp.asarray(s[None]), None, h, w, CFG.sensor)[0]
-        for s in scans
-    ]
+    # must equal the batch-pairwise forward on the same projections.
+    # Mirror the stream's preprocessing: 35 m planar crop + packed projection.
+    def stream_proj(s):
+        pts = jnp.asarray(s[None])
+        keep = jnp.any(pts != 0.0, axis=-1) & (
+            jnp.linalg.norm(pts[..., :2], axis=-1)
+            <= CFG.sensor.max_planar_radius
+        )
+        return project_to_range_image(
+            pts * keep[..., None], None, h, w, CFG.sensor, method="packed"
+        )[0]
+
+    projs = [stream_proj(s) for s in scans]
     for i, prev in [(1, 0), (2, 1)]:
         out = model.apply(variables, projs[i], projs[prev], training=False)
         np.testing.assert_allclose(
