@@ -148,13 +148,69 @@ class GaussNewtonConfig:
     prior_weight: float = 1e6  # gauge fix on node 0
 
 
-def _solve_step(poses, factors, cfg: GaussNewtonConfig, reduce_fn):
+@dataclasses.dataclass
+class PriorFactor:
+    """Dense Gaussian prior left behind by Schur marginalization.
+
+    Quadratic cost 0.5 d^T H d + b^T d over the stacked local deltas
+    d_i = Log(lin_T_i^-1 T_i) of the covered nodes (right-multiplicative
+    convention, matching the solver's update T <- T Exp(delta))."""
+
+    node_ids: np.ndarray     # (m,) node indices (window-local)
+    h: jnp.ndarray           # (6m, 6m)
+    b: jnp.ndarray           # (6m,)
+    lin_poses: jnp.ndarray   # (m, 4, 4) linearization points
+
+    def shifted(self, new_ids: np.ndarray) -> "PriorFactor":
+        """Same prior, re-labelled with new node indices."""
+        return PriorFactor(
+            node_ids=np.asarray(new_ids), h=self.h, b=self.b,
+            lin_poses=self.lin_poses,
+        )
+
+
+def _prior_contribution(poses, prior: PriorFactor):
+    """(H_add, b_add, chi2_add) of the marginalization prior at ``poses``."""
+    n = poses.shape[0]
+    dim = 6 * n
+    ids = np.asarray(prior.node_ids)
+    sel = jnp.asarray(
+        (ids[:, None] * 6 + np.arange(6)[None, :]).reshape(-1)
+    )
+    t = poses[jnp.asarray(ids)]
+    delta = jax.vmap(lambda lin, cur: se3.se3_log(se3.se3_inv(lin) @ cur))(
+        prior.lin_poses.astype(poses.dtype), t
+    ).reshape(-1)                                   # (6m,)
+    grad = prior.b + prior.h @ delta                # d/d(delta) of the cost
+    chi2 = 0.5 * delta @ prior.h @ delta + prior.b @ delta
+
+    h_add = jnp.zeros((dim, dim), dtype=poses.dtype)
+    h_add = h_add.at[sel[:, None], sel[None, :]].add(prior.h.astype(poses.dtype))
+    b_add = jnp.zeros((dim,), dtype=poses.dtype).at[sel].add(
+        grad.astype(poses.dtype)
+    )
+    return h_add, b_add, chi2
+
+
+def _solve_step(poses, factors, cfg: GaussNewtonConfig, reduce_fn, prior=None,
+                scan_terms=None):
     h, b, chi2 = reduce_fn(poses, factors)
     n = poses.shape[0]
     dim = 6 * n
+    if scan_terms is not None:
+        scan_factors, scan_reduce = scan_terms
+        h_s, b_s, chi2_s = scan_reduce(poses, scan_factors)
+        h = h + h_s
+        b = b + b_s
+        chi2 = chi2 + chi2_s
+    if prior is not None:
+        h_p, b_p, chi2_p = _prior_contribution(poses, prior)
+        h = h + h_p
+        b = b + b_p
+        chi2 = chi2 + chi2_p
     # gauge prior on node 0
-    prior = jnp.zeros((dim,)).at[:6].set(cfg.prior_weight)
-    h = h + jnp.diag(prior) + cfg.damping * jnp.eye(dim, dtype=h.dtype)
+    gauge = jnp.zeros((dim,)).at[:6].set(cfg.prior_weight)
+    h = h + jnp.diag(gauge) + cfg.damping * jnp.eye(dim, dtype=h.dtype)
     delta = jnp.linalg.solve(h, -b).reshape(n, 6)
     new_poses = poses @ se3.se3_exp(delta)
     return new_poses, chi2
@@ -165,20 +221,42 @@ def optimize(
     factors: FactorGraph,
     cfg: GaussNewtonConfig = GaussNewtonConfig(),
     mesh=None,
+    prior: "PriorFactor | None" = None,
+    scan_factors=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gauss-Newton on the window.  Returns (poses, chi2 history).
 
     With ``mesh`` (a 1-D ``jax.sharding.Mesh``), factors are sharded over the
     mesh axis and the (H, b) reduction runs distributed with a psum.
+    ``prior`` carries marginalized keyframes' information (see PriorFactor).
+    ``scan_factors`` (a ``scan_factors.ScanFactorSet``) adds point-to-plane
+    residuals from the keyframes' range images, re-linearized every
+    iteration; with a mesh, their point blocks are sharded over the axis
+    (map-block partitioning) and psum-reduced.
     """
     if mesh is None:
         reduce_fn = _accumulate
     else:
         reduce_fn = _make_distributed_reduce(mesh, factors.num_nodes)
 
+    scan_terms = None
+    if scan_factors is not None:
+        from .scan_factors import (
+            accumulate_scan_factors,
+            make_distributed_scan_reduce,
+        )
+
+        scan_reduce = (
+            accumulate_scan_factors if mesh is None
+            else make_distributed_scan_reduce(mesh)
+        )
+        scan_terms = (scan_factors, scan_reduce)
+
     def body(carry, _):
         poses, _ = carry
-        new_poses, chi2 = _solve_step(poses, factors, cfg, reduce_fn)
+        new_poses, chi2 = _solve_step(
+            poses, factors, cfg, reduce_fn, prior, scan_terms
+        )
         return (new_poses, chi2), chi2
 
     (final, _), history = jax.lax.scan(

@@ -8,18 +8,22 @@ per-frame relative poses (the PWCLO network's l0 output); this module:
 * promotes frames to keyframes when accumulated motion exceeds distance /
   rotation thresholds,
 * keeps a sliding window of keyframe poses linked by odometry factors,
-* accepts loop-closure factors from any relative-pose callable (e.g. running
-  the odometry network on non-consecutive keyframe pairs),
+* **detects loop closures automatically**: keyframes spatially near but
+  temporally far from the newest keyframe are re-measured with a
+  user-supplied relative-pose callable (e.g. re-running the odometry network
+  on the two keyframes' scans) and added as closure factors,
 * optimizes the window with the Gauss-Newton solver (optionally distributed
   over a device mesh, see ``pose_graph.optimize``),
-* marginalizes keyframes that leave the window via the Schur complement,
-  keeping their information as a dense prior on the window head.
+* **marginalizes keyframes that leave the window** via the Schur complement:
+  their factors are folded into a dense ``PriorFactor`` on the in-window
+  keyframes they touched, so no information is silently dropped
+  (tests/test_slam.py asserts drift with the prior <= drift without it).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import Callable, List, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -34,6 +38,16 @@ class SlamConfig:
     keyframe_rotation: float = 0.1      # radians
     window_size: int = 20               # keyframes kept in the window
     optimize_every: int = 5             # keyframes between optimizations
+    closure_radius: float = 4.0         # meters: candidate search radius
+    closure_min_gap: int = 10           # keyframes: temporal separation floor
+    closure_weight: float = 50.0
+    marginalize: bool = True            # False: drop departing factors (ablation)
+    # point-to-plane scan factors between consecutive window keyframes
+    # (requires keyframe payloads to be (H, W, 3) range images and
+    # ``scan_sensor`` to be set on the SLAM object)
+    use_scan_factors: bool = False
+    scan_max_dist: float = 1.0
+    scan_weight: float = 1.0
     gn: pg.GaussNewtonConfig = dataclasses.field(default_factory=pg.GaussNewtonConfig)
 
 
@@ -47,31 +61,52 @@ def _mat_from_qt(q: np.ndarray, t: np.ndarray) -> np.ndarray:
 
 
 class SlidingWindowSLAM:
-    """Online sliding-window pose-graph SLAM over odometry estimates."""
+    """Online sliding-window pose-graph SLAM over odometry estimates.
 
-    def __init__(self, cfg: SlamConfig = SlamConfig(), mesh=None):
+    ``closure_fn(payload_i, payload_j) -> 4x4 | None`` measures the relative
+    transform i_T_j between two keyframes' stored payloads (e.g. their scans,
+    fed back through the odometry network); returning None rejects the
+    candidate.  Payloads are attached per frame via ``add_frame(..., payload=)``
+    and captured at keyframe promotion.
+    """
+
+    def __init__(
+        self,
+        cfg: SlamConfig = SlamConfig(),
+        mesh=None,
+        closure_fn: Optional[Callable] = None,
+        scan_sensor=None,
+    ):
         self.cfg = cfg
         self.mesh = mesh
+        self.closure_fn = closure_fn
+        self.scan_sensor = scan_sensor  # SensorConfig for scan-factor payloads
         # keyframe state
         self.kf_poses: List[np.ndarray] = [np.eye(4)]       # world_T_kf
         self.kf_frame_ids: List[int] = [0]
+        self.kf_payloads: List[object] = [None]
         # factors between keyframes (global keyframe ids)
         self.factors: List[Tuple[int, int, np.ndarray, float]] = []
-        # marginalization prior: (H, b, linearization poses, kf ids)
+        self.closed_pairs: set = set()
+        # marginalization prior over global keyframe ids (pg.PriorFactor)
+        self._prior: Optional[pg.PriorFactor] = None
         self._frame_count = 0
         self._T_since_kf = np.eye(4)                        # kf_T_current
         self._current = np.eye(4)                           # world_T_current
         self._kf_since_opt = 0
+        self._last_payload: object = None
         self.full_trajectory: List[np.ndarray] = [np.eye(4)]
 
     # -- frontend ---------------------------------------------------------
-    def add_frame(self, q: np.ndarray, t: np.ndarray) -> None:
+    def add_frame(self, q: np.ndarray, t: np.ndarray, payload=None) -> None:
         """Feed one frame-to-frame odometry estimate (LiDAR convention of the
-        network: transform of frame k relative to k-1)."""
+        network: transform of frame k relative to k-1).  ``payload`` is an
+        opaque handle (e.g. the scan) kept if this frame becomes a keyframe."""
         rel = _mat_from_qt(q, t)
         self._frame_count += 1
         self._T_since_kf = self._T_since_kf @ rel
         self._current = self.kf_poses[-1] @ self._T_since_kf
+        self._last_payload = payload
         self.full_trajectory.append(self._current.copy())
 
         dist = float(np.linalg.norm(self._T_since_kf[:3, 3]))
@@ -88,16 +123,50 @@ class SlidingWindowSLAM:
         self.factors.append((i, i + 1, self._T_since_kf.copy(), 1.0))
         self.kf_poses.append(self._current.copy())
         self.kf_frame_ids.append(self._frame_count)
+        self.kf_payloads.append(self._last_payload)
         self._T_since_kf = np.eye(4)
         self._kf_since_opt += 1
-        if self._kf_since_opt >= self.cfg.optimize_every:
+
+        found = self.detect_loop_closures()
+        if found or self._kf_since_opt >= self.cfg.optimize_every:
             self.optimize_window()
             self._kf_since_opt = 0
 
-    def add_loop_closure(self, kf_i: int, kf_j: int, rel: np.ndarray, weight: float = 50.0):
+    def add_loop_closure(self, kf_i: int, kf_j: int, rel: np.ndarray, weight: Optional[float] = None):
         """rel: measured kf_i_T_kf_j (e.g. from re-running the odometry
         network on the two keyframes' scans)."""
-        self.factors.append((kf_i, kf_j, np.asarray(rel, dtype=np.float64), weight))
+        rel = np.asarray(rel, dtype=np.float64)
+        if rel.shape != (4, 4):
+            raise ValueError(f"closure transform must be (4, 4), got {rel.shape}")
+        w = self.cfg.closure_weight if weight is None else weight
+        self.factors.append((kf_i, kf_j, rel, w))
+        self.closed_pairs.add((kf_i, kf_j))
+
+    def detect_loop_closures(self) -> int:
+        """Search in-window keyframes spatially near but temporally far from
+        the newest keyframe; measure each candidate with ``closure_fn`` and
+        add accepted factors.  Returns the number of closures added."""
+        if self.closure_fn is None:
+            return 0
+        ids = self._window_ids()
+        i = len(self.kf_poses) - 1
+        if self.kf_payloads[i] is None:
+            return 0
+        pos_i = self.kf_poses[i][:3, 3]
+        added = 0
+        for j in ids:
+            if i - j < self.cfg.closure_min_gap or (j, i) in self.closed_pairs:
+                continue
+            if self.kf_payloads[j] is None:
+                continue
+            if np.linalg.norm(self.kf_poses[j][:3, 3] - pos_i) > self.cfg.closure_radius:
+                continue
+            rel = self.closure_fn(self.kf_payloads[j], self.kf_payloads[i])
+            if rel is None:
+                continue
+            self.add_loop_closure(j, i, np.asarray(rel, dtype=np.float64))
+            added += 1
+        return added
 
     # -- backend ----------------------------------------------------------
     def _window_ids(self) -> np.ndarray:
@@ -105,9 +174,95 @@ class SlidingWindowSLAM:
         lo = max(0, n - self.cfg.window_size)
         return np.arange(lo, n)
 
+    def _prior_mini_contribution(self, nodes, id_map):
+        """(H, b) contribution of the current prior inside a mini system over
+        ``nodes`` (all prior nodes must be present)."""
+        p = self._prior
+        dim = 6 * len(nodes)
+        h = np.zeros((dim, dim), dtype=np.float64)
+        b = np.zeros((dim,), dtype=np.float64)
+        sel = np.concatenate(
+            [id_map[g] * 6 + np.arange(6) for g in p.node_ids]
+        )
+        cur = np.stack([self.kf_poses[g] for g in p.node_ids]).astype(np.float32)
+        delta = np.asarray(
+            jnp.stack([
+                se3.se3_log(se3.se3_inv(jnp.asarray(lin)) @ jnp.asarray(c))
+                for lin, c in zip(np.asarray(p.lin_poses), cur)
+            ])
+        ).reshape(-1)
+        h_p = np.asarray(p.h, dtype=np.float64)
+        b_p = np.asarray(p.b, dtype=np.float64) + h_p @ delta
+        h[np.ix_(sel, sel)] += h_p
+        b[sel] += b_p
+        return h, b
+
+    def _marginalize_departed(self, lo: int) -> None:
+        """Schur-fold everything touching keyframes below ``lo`` into a dense
+        prior on the in-window keyframes they constrain."""
+        prior_nodes = list(self._prior.node_ids) if self._prior is not None else []
+        departed_factors = [f for f in self.factors if f[0] < lo or f[1] < lo]
+        dropped = sorted(
+            {n for f in departed_factors for n in (f[0], f[1]) if n < lo}
+            | {n for n in prior_nodes if n < lo}
+        )
+        if not dropped:
+            return
+        kept = sorted(
+            {n for f in departed_factors for n in (f[0], f[1]) if n >= lo}
+            | {n for n in prior_nodes if n >= lo}
+        )
+        self.factors = [f for f in self.factors if f[0] >= lo and f[1] >= lo]
+        if not kept:
+            self._prior = None  # nothing in-window is constrained
+            return
+
+        nodes = dropped + kept
+        id_map = {g: l for l, g in enumerate(nodes)}
+        poses = jnp.asarray(
+            np.stack([self.kf_poses[g] for g in nodes]).astype(np.float32)
+        )
+        if departed_factors:
+            factors = pg.make_factors(
+                np.array([id_map[f[0]] for f in departed_factors]),
+                np.array([id_map[f[1]] for f in departed_factors]),
+                np.stack([f[2] for f in departed_factors]).astype(np.float32),
+                np.array([f[3] for f in departed_factors], dtype=np.float32),
+                num_nodes=len(nodes),
+            )
+            h, b, _ = pg.assemble_system(poses, factors)
+            h = np.asarray(h, dtype=np.float64)
+            b = np.asarray(b, dtype=np.float64)
+        else:
+            dim = 6 * len(nodes)
+            h = np.zeros((dim, dim))
+            b = np.zeros((dim,))
+        if self._prior is not None:
+            h_p, b_p = self._prior_mini_contribution(nodes, id_map)
+            h += h_p
+            b += b_p
+
+        keep_l = np.array([id_map[g] for g in kept])
+        drop_l = np.array([id_map[g] for g in dropped])
+        h_new, b_new = pg.marginalize(
+            jnp.asarray(h.astype(np.float32)), jnp.asarray(b.astype(np.float32)),
+            keep_l, drop_l,
+        )
+        self._prior = pg.PriorFactor(
+            node_ids=np.asarray(kept),
+            h=jnp.asarray(h_new),
+            b=jnp.asarray(b_new),
+            lin_poses=jnp.asarray(
+                np.stack([self.kf_poses[g] for g in kept]).astype(np.float32)
+            ),
+        )
+
     def optimize_window(self) -> float:
-        """Gauss-Newton over the current window; returns final chi2."""
+        """Gauss-Newton over the current window (with the marginalization
+        prior); returns final chi2."""
         ids = self._window_ids()
+        if self.cfg.marginalize:
+            self._marginalize_departed(int(ids[0]))
         id_map = {g: l for l, g in enumerate(ids)}
         fs = [
             (id_map[i], id_map[j], z, w)
@@ -123,7 +278,16 @@ class SlidingWindowSLAM:
 
         factors = pg.make_factors(src, dst, meas, weight, num_nodes=len(ids))
         poses0 = jnp.asarray(np.stack([self.kf_poses[g] for g in ids]).astype(np.float32))
-        opt, history = pg.optimize(poses0, factors, self.cfg.gn, mesh=self.mesh)
+        prior_local = (
+            self._prior.shifted(np.array([id_map[g] for g in self._prior.node_ids]))
+            if self._prior is not None
+            else None
+        )
+        scan_factors = self._build_scan_factors(ids, id_map, poses0)
+        opt, history = pg.optimize(
+            poses0, factors, self.cfg.gn, mesh=self.mesh, prior=prior_local,
+            scan_factors=scan_factors,
+        )
         opt = np.asarray(opt, dtype=np.float64)
 
         # write back, re-anchoring the world frame on the window head so the
@@ -133,6 +297,34 @@ class SlidingWindowSLAM:
             self.kf_poses[g] = anchor @ opt[l]
         self._current = self.kf_poses[-1] @ self._T_since_kf
         return float(np.asarray(history)[-1])
+
+    def _build_scan_factors(self, ids, id_map, poses0):
+        """Point-to-plane factors between consecutive window keyframes whose
+        payloads are range images (cfg.use_scan_factors)."""
+        if not self.cfg.use_scan_factors or self.scan_sensor is None:
+            return None
+        from . import scan_factors as sfm
+
+        pairs, corrs = [], []
+        for a, b in zip(ids[:-1], ids[1:]):
+            img_a, img_b = self.kf_payloads[a], self.kf_payloads[b]
+            if img_a is None or img_b is None:
+                continue
+            corr = sfm.correspondences_for_pair(
+                jnp.asarray(img_a), jnp.asarray(img_b),
+                poses0[id_map[a]], poses0[id_map[b]],
+                self.scan_sensor, max_dist=self.cfg.scan_max_dist,
+            )
+            pairs.append((id_map[a], id_map[b]))
+            corrs.append(
+                sfm.Correspondences(
+                    p_j=corr.p_j, q_i=corr.q_i, n_i=corr.n_i,
+                    w=corr.w * self.cfg.scan_weight,
+                )
+            )
+        if not pairs:
+            return None
+        return sfm.make_scan_factors(pairs, corrs)
 
     def keyframe_trajectory(self) -> np.ndarray:
         return np.stack(self.kf_poses)
