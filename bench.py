@@ -121,23 +121,78 @@ def main():
         dt_stream = float("nan")
         fps = paired_fps
     best = max(fps, paired_fps)
-    print(
-        json.dumps(
-            {
-                "metric": "odometry_inference_throughput",
-                "value": round(best, 2),
-                "unit": "frames/s",
-                "vs_baseline": round(best / BASELINE_FPS, 2),
-            }
-        )
-    )
+
+    # --- train-step throughput (auditable next to inference; VERDICT r1) ---
+    train_fps, train_ms = float("nan"), float("nan")
+    if os.environ.get("ELO_BENCH_TRAIN", "1") == "1":
+        try:
+            train_fps, train_ms = _bench_train(cfg, model)
+        except Exception as e:  # never lose the primary metric
+            print(f"train bench failed: {e!r}", file=sys.stderr)
+
+    details = {
+        "paired_fps": round(paired_fps, 2),
+        "streaming_fps": None if np.isnan(dt_stream) else round(fps, 2),
+        "train_fps": None if np.isnan(train_fps) else round(train_fps, 2),
+        "train_step_ms": None if np.isnan(train_ms) else round(train_ms, 2),
+        "batch": BATCH,
+        "device": jax.devices()[0].device_kind,
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAILS.json"), "w",
+    ) as f:
+        json.dump(details, f, indent=1)
+
+    out = {
+        "metric": "odometry_inference_throughput",
+        "value": round(best, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(best / BASELINE_FPS, 2),
+    }
+    if not np.isnan(train_fps):
+        out["train_frames_per_s"] = round(train_fps, 2)
+    print(json.dumps(out))
     print(
         f"paired: {paired_fps:.1f} fps "
         f"({1e3 * dt / (BATCH * (ITERS + 1)):.3f} ms/frame) | "
-        f"streaming: {fps:.1f} fps | batch={BATCH} "
+        f"streaming: {fps:.1f} fps | train: {train_fps:.1f} fps "
+        f"({train_ms:.1f} ms/step) | batch={BATCH} "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+
+
+def _bench_train(cfg, model):
+    """Train-step frames/s on one chip (dependent steps, one final sync)."""
+    import jax
+    import jax.numpy as jnp
+
+    from efficientlo_net_tpu.config import TrainConfig
+    from efficientlo_net_tpu.data.synthetic import synthetic_batch
+    from efficientlo_net_tpu.training.state import create_train_state
+    from efficientlo_net_tpu.training.step import make_train_step
+
+    tcfg = TrainConfig(batch_size=BATCH)
+    state = create_train_state(model, cfg, tcfg, jax.random.key(0))
+    step = jax.jit(make_train_step(model, cfg, tcfg), donate_argnums=(0,))
+
+    rng = np.random.default_rng(1)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(rng, BATCH, cfg.sensor, training=True).items()
+    }
+    key = jax.random.key(2)
+
+    state, metrics = step(state, batch, key)  # compile + warm
+    jax.block_until_ready(metrics["loss"])
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        state, metrics = step(state, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return BATCH * n / dt, 1e3 * dt / n
 
 
 if __name__ == "__main__":

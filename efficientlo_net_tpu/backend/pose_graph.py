@@ -24,6 +24,7 @@ Local update: T_i <- T_i Exp(delta_i).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Tuple
 
 import jax
@@ -35,7 +36,10 @@ from ..ops import se3
 
 @dataclasses.dataclass
 class FactorGraph:
-    """Static-shape factor container (padded to a fixed capacity)."""
+    """Static-shape factor container (padded to a fixed capacity).
+
+    Registered as a JAX pytree (num_nodes static) so jitted solvers cache
+    by shape instead of retracing per call."""
 
     src: jnp.ndarray      # (F,) int32 node index i
     dst: jnp.ndarray      # (F,) int32 node index j
@@ -43,6 +47,13 @@ class FactorGraph:
     weight: jnp.ndarray   # (F,) or (F, 6, 6) information weight
     valid: jnp.ndarray    # (F,) float 1/0 padding mask
     num_nodes: int
+
+
+jax.tree_util.register_pytree_node(
+    FactorGraph,
+    lambda fg: ((fg.src, fg.dst, fg.meas, fg.weight, fg.valid), fg.num_nodes),
+    lambda aux, leaves: FactorGraph(*leaves, num_nodes=aux),
+)
 
 
 def make_factors(src, dst, meas, weight=None, num_nodes=None, capacity=None) -> FactorGraph:
@@ -156,7 +167,7 @@ class PriorFactor:
     d_i = Log(lin_T_i^-1 T_i) of the covered nodes (right-multiplicative
     convention, matching the solver's update T <- T Exp(delta))."""
 
-    node_ids: np.ndarray     # (m,) node indices (window-local)
+    node_ids: np.ndarray     # (m,) node indices (window-local; static)
     h: jnp.ndarray           # (6m, 6m)
     b: jnp.ndarray           # (6m,)
     lin_poses: jnp.ndarray   # (m, 4, 4) linearization points
@@ -167,6 +178,16 @@ class PriorFactor:
             node_ids=np.asarray(new_ids), h=self.h, b=self.b,
             lin_poses=self.lin_poses,
         )
+
+
+jax.tree_util.register_pytree_node(
+    PriorFactor,
+    lambda p: ((p.h, p.b, p.lin_poses), tuple(int(i) for i in p.node_ids)),
+    lambda aux, leaves: PriorFactor(
+        node_ids=np.asarray(aux, dtype=np.int64), h=leaves[0], b=leaves[1],
+        lin_poses=leaves[2],
+    ),
+)
 
 
 def _prior_contribution(poses, prior: PriorFactor):
@@ -234,6 +255,16 @@ def optimize(
     iteration; with a mesh, their point blocks are sharded over the axis
     (map-block partitioning) and psum-reduced.
     """
+    return _optimize_jit(
+        poses, factors, prior, scan_factors, cfg=cfg, mesh=mesh
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _optimize_jit(poses, factors, prior, scan_factors, *, cfg, mesh):
+    """Jitted Gauss-Newton core: caches by (shapes, cfg, mesh) so repeated
+    window optimizations (sliding-window SLAM) compile once per shape
+    bucket instead of retracing every call."""
     if mesh is None:
         reduce_fn = _accumulate
     else:

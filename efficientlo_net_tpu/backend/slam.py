@@ -276,8 +276,22 @@ class SlidingWindowSLAM:
         meas = np.stack([f[2] for f in fs]).astype(np.float32)
         weight = np.array([f[3] for f in fs], dtype=np.float32)
 
-        factors = pg.make_factors(src, dst, meas, weight, num_nodes=len(ids))
-        poses0 = jnp.asarray(np.stack([self.kf_poses[g] for g in ids]).astype(np.float32))
+        # pad node count and factor capacity to shape buckets so the jitted
+        # Gauss-Newton loop compiles O(log) times per run, not per call
+        # (padding nodes carry identity poses and no factors; the damping
+        # term keeps H invertible and their update is exactly zero)
+        n_window = len(ids)
+        n_pad = min(-(-n_window // 8) * 8, max(self.cfg.window_size, n_window))
+        capacity = 1 << (len(fs) - 1).bit_length()
+
+        factors = pg.make_factors(
+            src, dst, meas, weight, num_nodes=n_pad, capacity=capacity
+        )
+        stacked = np.stack(
+            [self.kf_poses[g] for g in ids]
+            + [np.eye(4)] * (n_pad - n_window)
+        ).astype(np.float32)
+        poses0 = jnp.asarray(stacked)
         prior_local = (
             self._prior.shifted(np.array([id_map[g] for g in self._prior.node_ids]))
             if self._prior is not None
@@ -288,7 +302,7 @@ class SlidingWindowSLAM:
             poses0, factors, self.cfg.gn, mesh=self.mesh, prior=prior_local,
             scan_factors=scan_factors,
         )
-        opt = np.asarray(opt, dtype=np.float64)
+        opt = np.asarray(opt, dtype=np.float64)[:n_window]
 
         # write back, re-anchoring the world frame on the window head so the
         # fixed (out-of-window) prefix stays consistent

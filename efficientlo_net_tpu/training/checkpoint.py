@@ -61,20 +61,24 @@ class CheckpointManager:
         metrics: Optional[dict] = None,
         epoch: Optional[int] = None,
     ) -> int:
-        """Persist the state once (idempotent per step). Returns the step."""
+        """Persist the state once (idempotent per step). Returns the step.
+
+        Multi-host: every process calls this (orbax's CheckpointManager is
+        itself multihost-coordinated and performs the disk write from the
+        primary only); the JSON sidecar is written by process 0 alone."""
         step = int(jax.device_get(state.step))
+        if step not in (self._mgr.all_steps() or []):
+            self._mgr.save(
+                step, args=ocp.args.StandardSave(jax.device_get(state))
+            )
+            self._mgr.wait_until_finished()
         if _is_primary():
-            if step not in (self._mgr.all_steps() or []):
-                self._mgr.save(
-                    step, args=ocp.args.StandardSave(jax.device_get(state))
-                )
-                self._mgr.wait_until_finished()
             meta = {"epoch": epoch}
             if metrics:
                 meta.update(metrics)
             with open(self._meta_path(step), "w") as f:
                 json.dump(meta, f)
-        _barrier("ckpt_save")
+        _barrier("ckpt_meta")
         return step
 
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
