@@ -166,6 +166,17 @@ class SequenceResult:
         )
 
 
+def save_sequence_errors(errors: Sequence[SegmentError], path: str) -> None:
+    """Per-segment error dump, row format of the reference evaluator's
+    ``saveSequenceErrors`` (kitti_evaluation.py:178-187):
+    ``first_frame r_err(rad/m) t_err(fraction) length(m) speed(m/s)``."""
+    with open(path, "w") as f:
+        for e in errors:
+            f.write(
+                f"{e.first_frame} {e.r_err} {e.t_err} {e.length} {e.speed}\n"
+            )
+
+
 def evaluate_sequence(
     poses_gt: Sequence[np.ndarray], poses_result: Sequence[np.ndarray], seq: str = "??"
 ) -> SequenceResult:

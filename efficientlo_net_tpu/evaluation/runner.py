@@ -106,6 +106,12 @@ def evaluate_sequences(
         res = evaluate_sequence(poses_gt, poses_res, seq=name)
         results[seq] = res
         log(res.summary())
+        if result_dir is not None:
+            from .kitti_metrics import save_sequence_errors
+
+            save_sequence_errors(
+                res.errors, os.path.join(result_dir, f"{name}_errors.txt")
+            )
         if make_plots and result_dir is not None:
             from .plots import write_all_plots
 

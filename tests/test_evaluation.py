@@ -121,3 +121,24 @@ def test_to_camera_coord_roundtrip():
     np.testing.assert_allclose(
         back[:3, 3], [-p[1, 3], -p[2, 3], p[0, 3]], atol=1e-12
     )
+
+
+def test_save_sequence_errors_roundtrip(tmp_path):
+    """Per-segment txt dump parity with reference saveSequenceErrors
+    (kitti_evaluation.py:178-187): rows of first_frame r/len t/len len speed."""
+    import numpy as np
+
+    from efficientlo_net_tpu.evaluation.kitti_metrics import (
+        SegmentError,
+        save_sequence_errors,
+    )
+
+    errs = [
+        SegmentError(first_frame=0, r_err=1e-4, t_err=0.01, length=100.0, speed=8.0),
+        SegmentError(first_frame=10, r_err=2e-4, t_err=0.02, length=200.0, speed=12.5),
+    ]
+    path = tmp_path / "00_errors.txt"
+    save_sequence_errors(errs, str(path))
+    rows = np.loadtxt(path)
+    assert rows.shape == (2, 5)
+    np.testing.assert_allclose(rows[1], [10, 2e-4, 0.02, 200.0, 12.5])

@@ -37,6 +37,9 @@ def chain_timer(fn, args, iters=20):
     return (time.perf_counter() - t0) / iters
 
 
+RESULTS = {}  # stage name -> ms (filled by the bench_* functions)
+
+
 def bench_projection():
     import jax.numpy as jnp
 
@@ -48,11 +51,12 @@ def bench_projection():
     rng = np.random.default_rng(0)
     pc = jnp.asarray(np.stack([synthetic_pair(rng, cfg.sensor)[0] for _ in range(8)]))
 
-    for method in ("sort", "scatter"):
+    for method in ("packed", "sort", "scatter"):
         def fn(eps, pc, method=method):
             img, _ = project_to_range_image(pc + eps, None, 64, 1800, cfg.sensor, method)
             return img
         dt = chain_timer(fn, (pc,))
+        RESULTS[f"projection_{method}_ms_per_cloud"] = round(1e3 * dt / 8, 3)
         print(f"projection[{method}] B=8 150k pts: {1e3 * dt:.2f} ms/iter "
               f"({1e3 * dt / 8:.3f} ms/cloud)")
 
@@ -90,6 +94,7 @@ def bench_model():
         return out["q"][0]
 
     dt = chain_timer(fwd, (p1, p2))
+    RESULTS["forward_ms_per_frame"] = round(1e3 * dt / 8, 3)
     print(f"model forward (post-projection) B=8: {1e3 * dt:.2f} ms/iter "
           f"({1e3 * dt / 8:.3f} ms/frame)")
 
@@ -122,15 +127,30 @@ def bench_train():
         state, metrics = step(state, batch, jax.random.key(i))
     loss = float(jax.device_get(metrics["loss"]))  # sync via dependency
     dt = (time.perf_counter() - t0) / n
+    RESULTS["train_step_ms"] = round(1e3 * dt, 3)
     print(f"train step B=8: {1e3 * dt:.2f} ms/step ({1e3 * dt / 8:.3f} ms/frame), "
           f"loss={loss:.3f}")
 
 
 if __name__ == "__main__":
-    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    import json
+
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    what = args[0] if args else "all"
     if what in ("projection", "all"):
         bench_projection()
     if what in ("model", "all"):
         bench_model()
     if what in ("train", "all"):
         bench_train()
+    if "--json" in sys.argv:
+        import jax
+
+        RESULTS["device"] = jax.devices()[0].device_kind
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs", "perf_breakdown.json",
+        )
+        with open(out, "w") as f:
+            json.dump(RESULTS, f, indent=1)
+        print(f"wrote {out}: {json.dumps(RESULTS)}")
