@@ -138,15 +138,26 @@ class DownConv(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz_proj, feat_proj, stride_hw, training, bn_momentum, perm=None):
+    def __call__(self, xyz_proj, feat_proj, stride_hw, training, bn_momentum,
+                 perm=None, select_fn=None):
+        """``select_fn`` overrides the neighbor select+group (e.g. the
+        W-axis ring-sharded ``parallel.ring.ring_select_and_group``); it must
+        accept the same (xyz, feats, kernel_size, k, distance, center_stride,
+        mode, perm) signature and return (xyz_group, feat_group, mask)."""
         b, h, w, _ = xyz_proj.shape
         oh, ow = self.out_hw
 
-        xyz_group, feat_group, mask = nbr.select_and_group(
-            xyz_proj, feat_proj, self.kernel_size, self.k, self.distance,
-            center_stride=tuple(stride_hw), mode=nbr.FIRST_K, perm=perm,
-            fused=not training,  # fused emission carries no value gradients
-        )
+        if select_fn is not None:
+            xyz_group, feat_group, mask = select_fn(
+                xyz_proj, feat_proj, self.kernel_size, self.k, self.distance,
+                center_stride=tuple(stride_hw), mode=nbr.FIRST_K, perm=perm,
+            )
+        else:
+            xyz_group, feat_group, mask = nbr.select_and_group(
+                xyz_proj, feat_proj, self.kernel_size, self.k, self.distance,
+                center_stride=tuple(stride_hw), mode=nbr.FIRST_K, perm=perm,
+                fused=not training,  # fused emission carries no value gradients
+            )
         mask = jax.lax.stop_gradient(mask)
 
         new_xyz_proj = xyz_proj[:, :: stride_hw[0], :: stride_hw[1], :]

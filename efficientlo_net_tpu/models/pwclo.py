@@ -167,9 +167,12 @@ class PWCLONet(nn.Module):
             return None
         return jax.random.permutation(self.make_rng("neighbor"), t)
 
-    def _pyramid(self, xyz_proj, training, bn_momentum, stochastic):
+    def _pyramid(self, xyz_proj, training, bn_momentum, stochastic,
+                 ring_mesh=None):
         """Four down_convs for one frame; returns per-level (xyz_proj, feat,
-        feat_proj)."""
+        feat_proj).  With ``ring_mesh``, the full-resolution level-0 select
+        (by far the heaviest: the 64x1800 grid) runs W-axis ring-sharded
+        (parallel/ring.py); coarser levels are tiny and stay replicated."""
         cfg = self.cfg
         shapes = cfg.level_shapes
         feats = []
@@ -177,9 +180,16 @@ class PWCLONet(nn.Module):
         cur_feat_proj = jnp.zeros_like(xyz_proj)  # zero input features
         for i in range(4):
             perm = self._perm(cfg.down_kernels[i], stochastic)
+            select_fn = None
+            if ring_mesh is not None and i == 0:
+                from functools import partial
+
+                from ..parallel.ring import ring_select_and_group
+
+                select_fn = partial(ring_select_and_group, mesh=ring_mesh)
             feat, new_xyz = self.down_layers[i](
                 cur_xyz, cur_feat_proj, self.down_strides[i], training, bn_momentum,
-                perm=perm,
+                perm=perm, select_fn=select_fn,
             )
             h, w = shapes[i + 2]
             feat_proj = feat.reshape(feat.shape[0], h, w, feat.shape[-1])
@@ -203,13 +213,16 @@ class PWCLONet(nn.Module):
         training: bool = False,
         bn_momentum=0.99,
         stochastic: bool = False,
+        ring_mesh=None,
     ) -> Dict[str, Any]:
         cfg = self.cfg
         shapes = cfg.level_shapes
         b = proj_f1.shape[0]
 
-        f1 = self._pyramid(proj_f1, training, bn_momentum, stochastic)
-        f2 = self._pyramid(proj_f2, training, bn_momentum, stochastic)
+        f1 = self._pyramid(proj_f1, training, bn_momentum, stochastic,
+                           ring_mesh=ring_mesh)
+        f2 = self._pyramid(proj_f2, training, bn_momentum, stochastic,
+                           ring_mesh=ring_mesh)
         (l0_xyz1, l0_feat1, l0_fp1) = f1[0]
         (l1_xyz1, l1_feat1, l1_fp1) = f1[1]
         (l2_xyz1, l2_feat1, l2_fp1) = f1[2]

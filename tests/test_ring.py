@@ -142,3 +142,41 @@ def test_ring_guards():
             g12, jnp.zeros((1, 4, 8, 3)), (3, 3), 2, 1.0,
             mesh=mesh, source_stride=(1, 2),
         )
+
+
+def test_model_forward_with_ring_mesh_matches_unsharded():
+    """Full PWCLO forward with the level-0 select ring-sharded must match
+    the unsharded forward (eval mode)."""
+    from efficientlo_net_tpu.config import tiny_model_config
+    from efficientlo_net_tpu.models.pwclo import PWCLONet
+    from efficientlo_net_tpu.ops.projection import project_to_range_image
+    from tests.test_model import synthetic_scan
+
+    cfg = tiny_model_config()
+    model = PWCLONet(cfg)
+    rng = np.random.default_rng(0)
+    h, w = cfg.sensor.height, cfg.sensor.width
+    scans = [synthetic_scan(rng, cfg.sensor.num_points) for _ in range(2)]
+    p1, _ = project_to_range_image(
+        jnp.asarray(scans[0][None]), None, h, w, cfg.sensor
+    )
+    p2, _ = project_to_range_image(
+        jnp.asarray(scans[1][None]), None, h, w, cfg.sensor
+    )
+    variables = model.init(
+        {"params": jax.random.key(0), "neighbor": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        p1, p2, training=False,
+    )
+    out_ref = model.apply(variables, p1, p2, training=False)
+    mesh = ring_mesh(2, 4)
+    out_ring = model.apply(variables, p1, p2, training=False, ring_mesh=mesh)
+    for lvl in range(4):
+        np.testing.assert_allclose(
+            np.asarray(out_ring["q"][lvl]), np.asarray(out_ref["q"][lvl]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_ring["t"][lvl]), np.asarray(out_ref["t"][lvl]),
+            atol=1e-4,
+        )
