@@ -56,8 +56,11 @@ def main():
     pc1 = jnp.asarray(np.stack([p[0] for p in pairs]))
     pc2 = jnp.asarray(np.stack([p[1] for p in pairs]))
 
-    p1, _ = project_to_range_image(pc1, None, h, w, cfg.sensor)
-    p2, _ = project_to_range_image(pc2, None, h, w, cfg.sensor)
+    # production odometry path: scans are 35 m-cropped before projection
+    # (models/preprocess.py), which makes the fast "packed" method safe —
+    # synthetic_pair generates in-crop points, so use it here too
+    p1, _ = project_to_range_image(pc1, None, h, w, cfg.sensor, method="packed")
+    p2, _ = project_to_range_image(pc2, None, h, w, cfg.sensor, method="packed")
     variables = jax.jit(model.init, static_argnames=("training",))(
         {"params": jax.random.key(0), "neighbor": jax.random.key(1),
          "dropout": jax.random.key(2)},
@@ -66,8 +69,8 @@ def main():
 
     @jax.jit
     def infer(variables, pc1, pc2):
-        i1, _ = project_to_range_image(pc1, None, h, w, cfg.sensor)
-        i2, _ = project_to_range_image(pc2, None, h, w, cfg.sensor)
+        i1, _ = project_to_range_image(pc1, None, h, w, cfg.sensor, method="packed")
+        i2, _ = project_to_range_image(pc2, None, h, w, cfg.sensor, method="packed")
         out = model.apply(variables, i1, i2, training=False)
         return out["q"][0], out["t"][0]
 
@@ -83,7 +86,9 @@ def main():
         # previous projection; pose feeds the next input (serialization)
         def body(carry, _):
             pts, prev = carry
-            proj, _ = project_to_range_image(pts, None, h, w, cfg.sensor)
+            proj, _ = project_to_range_image(
+                pts, None, h, w, cfg.sensor, method="packed"
+            )
             out = model.apply(variables, proj, prev, training=False)
             eps = (jnp.sum(out["q"][0]) + jnp.sum(out["t"][0])) * 1e-12
             return (pts + eps, proj), None
