@@ -41,6 +41,15 @@ class SlamConfig:
     closure_radius: float = 4.0         # meters: candidate search radius
     closure_min_gap: int = 10           # keyframes: temporal separation floor
     closure_weight: float = 50.0
+    # search the whole keyframe history for closure candidates, not just the
+    # window.  A closure to an already-departed (frozen) keyframe still
+    # enters the optimization: marginalization folds it into the prior on
+    # the in-window end at the frozen pose's linearization, pulling the
+    # window back toward the revisited place.
+    closure_search_all: bool = False
+    # fixed-pose anchor strength for already-frozen keyframes that re-enter
+    # the system through a late loop closure (see _marginalize_departed)
+    frozen_prior_weight: float = 1e4
     marginalize: bool = True            # False: drop departing factors (ablation)
     # point-to-plane scan factors between consecutive window keyframes
     # (requires keyframe payloads to be (H, W, 3) range images and
@@ -90,6 +99,7 @@ class SlidingWindowSLAM:
         self.closed_pairs: set = set()
         # marginalization prior over global keyframe ids (pg.PriorFactor)
         self._prior: Optional[pg.PriorFactor] = None
+        self._frozen_ids: set = set()   # keyframes already marginalized away
         self._frame_count = 0
         self._T_since_kf = np.eye(4)                        # kf_T_current
         self._current = np.eye(4)                           # world_T_current
@@ -148,7 +158,10 @@ class SlidingWindowSLAM:
         add accepted factors.  Returns the number of closures added."""
         if self.closure_fn is None:
             return 0
-        ids = self._window_ids()
+        if self.cfg.closure_search_all:
+            ids = np.arange(len(self.kf_poses))
+        else:
+            ids = self._window_ids()
         i = len(self.kf_poses) - 1
         if self.kf_payloads[i] is None:
             return 0
@@ -215,6 +228,7 @@ class SlidingWindowSLAM:
         self.factors = [f for f in self.factors if f[0] >= lo and f[1] >= lo]
         if not kept:
             self._prior = None  # nothing in-window is constrained
+            self._frozen_ids.update(dropped)
             return
 
         nodes = dropped + kept
@@ -242,6 +256,17 @@ class SlidingWindowSLAM:
             h += h_p
             b += b_p
 
+        # Keyframes that were frozen in an earlier round and reappear now
+        # (through a late loop closure) carry no prior mass here — Schur
+        # over a totally unconstrained node would annihilate the closure.
+        # Anchor them at their frozen pose (the linearization point, so the
+        # gradient contribution is zero) so the between-factor correctly
+        # becomes a unary constraint on the in-window end.
+        for g in dropped:
+            if g in self._frozen_ids and g not in set(prior_nodes):
+                sl = id_map[g] * 6 + np.arange(6)
+                h[sl, sl] += self.cfg.frozen_prior_weight
+
         keep_l = np.array([id_map[g] for g in kept])
         drop_l = np.array([id_map[g] for g in dropped])
         h_new, b_new = pg.marginalize(
@@ -256,6 +281,7 @@ class SlidingWindowSLAM:
                 np.stack([self.kf_poses[g] for g in kept]).astype(np.float32)
             ),
         )
+        self._frozen_ids.update(dropped)
 
     def optimize_window(self) -> float:
         """Gauss-Newton over the current window (with the marginalization

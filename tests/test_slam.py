@@ -213,3 +213,39 @@ def test_automatic_loop_closure_detection():
     drift_off = np.linalg.norm(slam_off.kf_poses[-1][:3, 3] - gt[-1][:3, 3])
     drift_on = np.linalg.norm(slam_on.kf_poses[-1][:3, 3] - gt[-1][:3, 3])
     assert drift_on < drift_off * 0.5, (drift_on, drift_off)
+
+
+def test_loop_closure_beyond_window():
+    """A loop longer than the sliding window: whole-history candidate search
+    (closure_search_all) must find the revisit, and the closure to the
+    frozen keyframe must survive into the window via the marginalization
+    prior, reducing final drift."""
+    gt_holder = {}
+
+    def closure_fn(payload_j, payload_i):
+        gt = gt_holder["gt"]
+        return np.linalg.inv(gt[payload_j]) @ gt[payload_i]
+
+    def run(search_all):
+        cfg = SlamConfig(
+            keyframe_distance=2.0, window_size=12, optimize_every=5,
+            closure_radius=4.0, closure_min_gap=10,
+            closure_search_all=search_all,
+        )
+        slam = SlidingWindowSLAM(cfg, closure_fn=closure_fn if search_all else None)
+        gt = _drive_biased_square(slam, legs=4, steps=40, bias_yaw=0.002)
+        gt_holder["gt"] = gt
+        return slam, gt
+
+    _, gt = run(False)
+    gt_holder["gt"] = gt
+
+    slam_off, _ = run(False)
+    slam_on, _ = run(True)
+
+    # the loop spans ~80 keyframes >> window 12: in-window search alone can
+    # never see the revisit, whole-history search must
+    assert len(slam_on.closed_pairs) >= 1
+    drift_off = np.linalg.norm(slam_off.kf_poses[-1][:3, 3] - gt[-1][:3, 3])
+    drift_on = np.linalg.norm(slam_on.kf_poses[-1][:3, 3] - gt[-1][:3, 3])
+    assert drift_on < drift_off * 0.6, (drift_on, drift_off)

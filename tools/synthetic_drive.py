@@ -1,0 +1,354 @@
+"""Full-pipeline demonstration on a synthetic drive (no real KITTI needed).
+
+Generates persistent-world drive sequences in the real KITTI tree layout
+(velodyne/*.bin, calib.txt, ground-truth camera poses + per-pair T_diff),
+then runs the complete production stack at full 64x1800 / 150k-point
+resolution on TPU:
+
+  1. gen    — build worlds + render scans for train seqs (03 wander, 04
+              wander) and the eval seq (07, a closed loop);
+  2. train  — Trainer epochs over the train split;
+  3. eval   — evaluate_sequences: batched inference -> trajectory ->
+              KITTI RPE metrics (t_rel / r_rel) + plots + error dumps;
+  4. slam   — replay the eval sequence through OdometryStream and the
+              sliding-window SLAM backend (scan factors + automatic loop
+              closure), re-evaluate the refined trajectory.
+
+Writes docs/synthetic_drive.{md,json}.
+
+Run: python tools/synthetic_drive.py [--stage all] [--root /root/drive_data]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+from efficientlo_net_tpu.data.kitti import SEQ_LENGTH_TABLE, SEQ_NAMES
+
+# camera = R_C2L^-1 * lidar, the standard KITTI axis swap
+TR = np.array(
+    [[0.0, -1.0, 0.0, 0.0], [0.0, 0.0, -1.0, 0.0], [1.0, 0.0, 0.0, 0.0]]
+)
+TR4 = np.vstack([TR, [0.0, 0.0, 0.0, 1.0]])
+
+TRAIN_SEQS = [3, 4]   # 801 + 271 frames, "wander" drives with turns
+EVAL_SEQ = 7          # 1101 frames, closed loop
+
+
+def seq_frames(seq: int) -> int:
+    return SEQ_LENGTH_TABLE[seq + 1] - SEQ_LENGTH_TABLE[seq]
+
+
+def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
+                      speed: float, num_points: int, seed: int):
+    from efficientlo_net_tpu.data.synthetic import (
+        DriveRenderer, build_world, synthetic_trajectory)
+
+    rng = np.random.default_rng(seed)
+    name = SEQ_NAMES[seq]
+    n = seq_frames(seq)
+    seq_dir = os.path.join(root, name)
+    os.makedirs(os.path.join(seq_dir, "velodyne"), exist_ok=True)
+    os.makedirs(os.path.join(gt_dir, "kitti_T_diff"), exist_ok=True)
+
+    t0 = time.time()
+    traj = synthetic_trajectory(n, rng, kind=kind, speed=speed)
+    world = build_world(traj, rng)
+    renderer = DriveRenderer(world)
+    print(f"seq {name}: {n} frames, world {len(world)} pts "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    with open(os.path.join(seq_dir, "calib.txt"), "w") as f:
+        f.write("P0: " + " ".join(["0"] * 12) + "\n")
+        f.write("Tr: " + " ".join(f"{v:.12e}" for v in TR.reshape(-1)) + "\n")
+
+    cam_poses = np.einsum("ij,njk,kl->nil", TR4, traj, np.linalg.inv(TR4))
+    rows = cam_poses[:, :3, :].reshape(n, 12)
+    np.savetxt(os.path.join(gt_dir, f"{name}.txt"), rows)
+    diffs = np.stack(
+        [np.eye(4)]
+        + [np.linalg.inv(cam_poses[i - 1]) @ cam_poses[i] for i in range(1, n)]
+    )
+    np.save(os.path.join(gt_dir, "kitti_T_diff", f"{name}_diff.npy"),
+            diffs[:, :3, :].reshape(n, 12))
+
+    for i in range(n):
+        scan = renderer.render(traj[i], num_points, rng)
+        pad = np.zeros((num_points, 4), dtype=np.float32)
+        pad[:, :3] = scan
+        pad.tofile(os.path.join(seq_dir, "velodyne", f"{i:06d}.bin"))
+        if i % 200 == 0:
+            print(f"  frame {i}/{n} ({time.time() - t0:.0f}s)", flush=True)
+    print(f"seq {name} done in {time.time() - t0:.0f}s", flush=True)
+
+
+def stage_gen(args):
+    cfg = _model_cfg()
+    n_pts = cfg.sensor.num_points
+    for si, seq in enumerate(TRAIN_SEQS):
+        generate_sequence(args.root, args.gt_dir, seq, "wander",
+                          speed=0.9, num_points=n_pts, seed=100 + si)
+    generate_sequence(args.root, args.gt_dir, EVAL_SEQ, "loop",
+                      speed=0.6, num_points=n_pts, seed=7)
+
+
+def _model_cfg():
+    from efficientlo_net_tpu.config import ModelConfig
+
+    return ModelConfig()
+
+
+def _trainer(args):
+    from efficientlo_net_tpu.config import TrainConfig
+    from efficientlo_net_tpu.training.trainer import Trainer
+
+    tcfg = TrainConfig(batch_size=args.batch, base_learning_rate=1e-3)
+    return Trainer(
+        _model_cfg(), tcfg, data_root=args.root, log_dir=args.log_dir,
+        gt_dir=args.gt_dir, train_list=TRAIN_SEQS, val_list=[EVAL_SEQ],
+        use_mesh=False,
+    )
+
+
+def stage_train(args):
+    trainer = _trainer(args)
+    if args.resume:
+        trainer.restore()
+    t0 = time.time()
+    for epoch in range(trainer.start_epoch, args.epochs):
+        loss = trainer.train_one_epoch(epoch)
+        trainer.ckpt.save(trainer.state, epoch=epoch)
+        print(f"epoch {epoch} mean loss {loss:.4f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    return trainer
+
+
+def _eval_trajectory(args, trainer=None):
+    import jax
+
+    from efficientlo_net_tpu.evaluation.runner import evaluate_sequences
+
+    if trainer is None:
+        trainer = _trainer(args)
+        trainer.restore()
+    params = jax.device_get(trainer.state.params)
+    stats = jax.device_get(trainer.state.batch_stats)
+    results = evaluate_sequences(
+        trainer.eval_step, params, stats, trainer.dataset, [EVAL_SEQ],
+        gt_dir=args.gt_dir, result_dir=args.result_dir, batch_size=args.batch,
+        make_plots=True,
+    )
+    return trainer, results[EVAL_SEQ]
+
+
+def stage_eval(args, trainer=None):
+    trainer, res = _eval_trajectory(args, trainer)
+    out = {"odometry": {"t_rel": res.t_rel, "r_rel": res.r_rel}}
+    _merge_report(args, out)
+    print(json.dumps(out))
+    return trainer
+
+
+def stage_slam(args, trainer=None):
+    """Replay the eval sequence through streaming odometry + SLAM."""
+    import jax
+
+    from efficientlo_net_tpu.backend.slam import SlamConfig, SlidingWindowSLAM
+    from efficientlo_net_tpu.evaluation.kitti_metrics import (
+        evaluate_sequence, load_poses)
+    from efficientlo_net_tpu.evaluation.streaming import OdometryStream
+    from efficientlo_net_tpu.evaluation.odometry import quat_to_mat_np
+
+    cfg = _model_cfg()
+    if trainer is None:
+        trainer = _trainer(args)
+        trainer.restore()
+    variables = {
+        "params": jax.device_get(trainer.state.params),
+        "batch_stats": jax.device_get(trainer.state.batch_stats),
+    }
+    stream = OdometryStream(trainer.model, variables, cfg)
+
+    def closure_fn(img_j, img_i):
+        # re-measure candidate keyframe pairs with the odometry network:
+        # model(new=i, prev=j) emits j_T_i, exactly the factor convention
+        # (slam.add_loop_closure: rel = kf_i_T_kf_j for (kf_i=j, kf_j=i))
+        q, t = stream._step(variables, img_i[None], img_j[None])
+        q = np.asarray(q, dtype=np.float64).reshape(4)
+        m = np.eye(4)
+        m[:3, :3] = quat_to_mat_np(q / np.linalg.norm(q))
+        m[:3, 3] = np.asarray(t, dtype=np.float64).reshape(3)
+        return m
+
+    slam = SlidingWindowSLAM(
+        SlamConfig(
+            keyframe_distance=2.0, window_size=20, optimize_every=5,
+            closure_radius=6.0, closure_min_gap=15,
+            use_scan_factors=args.scan_factors,
+        ),
+        closure_fn=closure_fn,
+        scan_sensor=cfg.sensor if args.scan_factors else None,
+    )
+
+    ds = trainer.dataset
+    n = seq_frames(EVAL_SEQ)
+    raw_poses = [np.eye(4)]
+    t0 = time.time()
+    for i in range(n):
+        scan = ds.read_scan(EVAL_SEQ, i)
+        q, t = stream.push(scan)
+        img = np.asarray(stream._prev)[0]  # this frame's (H, W, 3) projection
+        if i == 0:
+            slam.add_frame(np.array([1.0, 0, 0, 0]), np.zeros(3), payload=img)
+            continue
+        # the network's (q, t) is the relative transform of frame i w.r.t.
+        # i-1 in the accumulation convention of integrate_sequence and
+        # slam.add_frame — feed both the same way
+        m = np.eye(4)
+        qn = np.asarray(q, dtype=np.float64)
+        m[:3, :3] = quat_to_mat_np(qn / np.linalg.norm(qn))
+        m[:3, 3] = t
+        raw_poses.append(raw_poses[-1] @ m)
+        slam.add_frame(q, t, payload=img)
+        if i % 100 == 0:
+            print(f"  slam frame {i}/{n} kf={len(slam.kf_poses)} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+    slam.optimize_window()
+    closures = len(slam.closed_pairs)
+    print(f"slam replay done: {len(slam.kf_poses)} keyframes, "
+          f"{closures} closures, {time.time() - t0:.0f}s", flush=True)
+
+    # re-anchor the full per-frame trajectory to the optimized keyframes:
+    # frame f after keyframe k keeps its raw motion relative to k
+    kf_frames = np.asarray(slam.kf_frame_ids)
+    kf_opt = np.stack(slam.kf_poses)
+    refined = []
+    ki = 0
+    for f in range(n):
+        while ki + 1 < len(kf_frames) and kf_frames[ki + 1] <= f:
+            ki += 1
+        anchor = kf_frames[ki]
+        delta = np.linalg.inv(raw_poses[anchor]) @ raw_poses[f]
+        refined.append(kf_opt[ki] @ delta)
+    refined = np.stack(refined)
+
+    # score both trajectories with the same RPE protocol
+    name = SEQ_NAMES[EVAL_SEQ]
+    gt = load_poses(os.path.join(args.gt_dir, f"{name}.txt"))
+
+    def to_cam_rows(poses):
+        cams = np.einsum("ij,njk,kl->nil", TR4, poses, np.linalg.inv(TR4))
+        return [c for c in cams]
+
+    res_raw = evaluate_sequence(gt, to_cam_rows(np.stack(raw_poses)), seq=name)
+    res_ref = evaluate_sequence(gt, to_cam_rows(refined), seq=name)
+    out = {
+        "streaming_odometry": {"t_rel": res_raw.t_rel, "r_rel": res_raw.r_rel},
+        "slam_refined": {"t_rel": res_ref.t_rel, "r_rel": res_ref.r_rel},
+        "keyframes": int(len(slam.kf_poses)),
+        "loop_closures": closures,
+        "scan_factors": bool(args.scan_factors),
+    }
+    _merge_report(args, out)
+    print(json.dumps(out))
+
+
+def _merge_report(args, new: dict):
+    path = os.path.join(REPO, "docs", "synthetic_drive.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data.update(new)
+    data["config"] = {
+        "train_seqs": TRAIN_SEQS, "eval_seq": EVAL_SEQ,
+        "epochs": args.epochs, "batch": args.batch,
+    }
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    _write_md(data)
+
+
+def _write_md(data: dict):
+    lines = [
+        "# Synthetic-drive end-to-end evaluation",
+        "",
+        "Generated by `tools/synthetic_drive.py`: persistent-world drives",
+        "rendered in the real KITTI tree layout, full-resolution training on",
+        "TPU, then the production evaluation stack (batched inference ->",
+        "trajectory integration -> KITTI RPE) and the SLAM backend",
+        "(streaming odometry -> keyframes -> scan factors + automatic loop",
+        "closure -> window optimization).",
+        "",
+        "| pipeline | t_rel (%) | r_rel (deg/100m) |",
+        "|---|---|---|",
+    ]
+    for key, label in [
+        ("odometry", "batched eval (network only)"),
+        ("streaming_odometry", "streaming odometry (network only)"),
+        ("slam_refined", "SLAM-refined (scan factors + loop closure)"),
+    ]:
+        if key in data:
+            lines.append(
+                f"| {label} | {data[key]['t_rel']:.3f} | "
+                f"{data[key]['r_rel']:.3f} |"
+            )
+    if "keyframes" in data:
+        lines.append("")
+        lines.append(
+            f"SLAM: {data['keyframes']} keyframes, "
+            f"loop closures: {data.get('loop_closures')}, "
+            f"scan factors: {data.get('scan_factors')}."
+        )
+    cfgd = data.get("config", {})
+    lines += [
+        "",
+        f"Train split: seqs {cfgd.get('train_seqs')} (synthetic 'wander'"
+        f" drives), eval: seq {cfgd.get('eval_seq')} (closed loop);"
+        f" {cfgd.get('epochs')} epochs at batch {cfgd.get('batch')}.",
+    ]
+    with open(os.path.join(REPO, "docs", "synthetic_drive.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", default="all",
+                    choices=["gen", "train", "eval", "slam", "all"])
+    ap.add_argument("--root", default="/root/drive_data/dataset")
+    ap.add_argument("--gt_dir", default="/root/drive_data/ground_truth_pose")
+    ap.add_argument("--log_dir", default="/root/drive_data/log")
+    ap.add_argument("--result_dir", default="/root/drive_data/results")
+    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--scan_factors", action="store_true", default=True)
+    ap.add_argument("--no_scan_factors", dest="scan_factors",
+                    action="store_false")
+    args = ap.parse_args()
+
+    trainer = None
+    if args.stage in ("gen", "all"):
+        stage_gen(args)
+    if args.stage in ("train", "all"):
+        trainer = stage_train(args)
+    if args.stage in ("eval", "all"):
+        trainer = stage_eval(args, trainer)
+    if args.stage in ("slam", "all"):
+        stage_slam(args, trainer)
+
+
+if __name__ == "__main__":
+    main()
