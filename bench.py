@@ -158,10 +158,14 @@ def main():
     if not np.isnan(train_fps):
         out["train_frames_per_s"] = round(train_fps, 2)
     print(json.dumps(out))
+    stream_txt = (
+        "skipped (ELO_BENCH_STREAMING=1 to measure)"
+        if np.isnan(dt_stream) else f"{fps:.1f} fps"
+    )
     print(
         f"paired: {paired_fps:.1f} fps "
         f"({1e3 * dt / (BATCH * (ITERS + 1)):.3f} ms/frame) | "
-        f"streaming: {fps:.1f} fps | train: {train_fps:.1f} fps "
+        f"streaming: {stream_txt} | train: {train_fps:.1f} fps "
         f"({train_ms:.1f} ms/step) | batch={BATCH} "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
