@@ -90,18 +90,23 @@ def _pose_from_xy_yaw(x, y, yaw):
 
 def synthetic_trajectory(
     n_frames: int, rng: np.random.Generator, kind: str = "wander",
-    speed: float = 0.8,
+    speed: float = 0.8, radius: float = 8.0,
 ) -> np.ndarray:
     """(n_frames, 4, 4) world_T_lidar poses (yaw-only attitude, terrain z).
 
     ``kind``:
-      * "wander" — smooth AR(1) yaw-rate with interleaved strong turns, so a
-        training drive covers the curvature range a loop drive will need;
-      * "loop"  — a rounded rectangle that closes on itself (loop-closure
-        opportunities for the SLAM backend, like real KITTI seq 07).
+      * "wander" — segment-based driving: mostly-straight cruises
+        interleaved with deliberate constant-rate turns whose sharpness
+        (0.5°..6°/frame) and cruise speed (0.45x..1.45x nominal) sweep the
+        ranges an evaluation drive can hit.  Real driving — and KITTI — is
+        predominantly straight, so a generator that turns all the time
+        trains a turn prior the eval drive never exhibits;
+      * "loop"  — a rounded rectangle (corner ``radius``) that closes on
+        itself (loop-closure opportunities for the SLAM backend, like real
+        KITTI seq 07).
     """
     if kind == "loop":
-        r = 8.0
+        r = radius
         length = n_frames * speed
         straight = (length - 2.0 * np.pi * r) / 4.0
         if straight <= 0:
@@ -137,20 +142,24 @@ def synthetic_trajectory(
                     s_in_leg = 0.0
         return np.stack(poses)
 
-    # "wander": smooth heading noise + occasional deliberate turns
+    # "wander": straight cruises interleaved with deliberate turns
     yaw_rate = np.zeros(n_frames)
-    ar = 0.0
-    for i in range(n_frames):
-        ar = 0.95 * ar + 0.003 * rng.standard_normal()
-        yaw_rate[i] = ar
-    n_turns = max(1, n_frames // 120)
-    for _ in range(n_turns):
-        start = rng.integers(0, max(1, n_frames - 60))
-        dur = int(rng.integers(30, 60))
-        yaw_rate[start:start + dur] += rng.choice([-1.0, 1.0]) * (
-            np.pi / 2.0
-        ) / dur
-    speeds = np.clip(speed + 0.08 * rng.standard_normal(n_frames), 0.2, 1.5)
+    speeds = np.full(n_frames, speed)
+    i = 0
+    while i < n_frames:
+        straight = int(rng.integers(40, 140))
+        speeds[i:i + straight] = rng.uniform(0.45, 1.45) * speed
+        i += straight
+        if i >= n_frames:
+            break
+        dur = int(rng.integers(15, 65))
+        angle = rng.choice([-1.0, 1.0]) * rng.uniform(np.pi / 5, np.pi / 2)
+        yaw_rate[i:i + dur] = angle / dur
+        speeds[i:i + dur] = rng.uniform(0.45, 1.2) * speed
+        i += dur
+    # small heading/throttle texture so straights are not perfectly rigid
+    yaw_rate += 0.0015 * rng.standard_normal(n_frames)
+    speeds = np.clip(speeds + 0.03 * rng.standard_normal(n_frames), 0.2, 1.5)
 
     poses, x, y, yaw = [], 0.0, 0.0, 0.0
     for i in range(n_frames):

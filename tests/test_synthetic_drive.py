@@ -36,9 +36,22 @@ def test_loop_trajectory_too_short_raises():
 def test_wander_trajectory_covers_turns():
     rng = np.random.default_rng(1)
     traj = synthetic_trajectory(300, rng, kind="wander", speed=0.9)
-    yaws = np.arctan2(traj[:, 1, 0], traj[:, 0, 0])
+    yaws = np.unwrap(np.arctan2(traj[:, 1, 0], traj[:, 0, 0]))
     # the deliberate-turn injection must produce real heading changes
-    assert np.ptp(np.unwrap(yaws)) > np.pi / 4
+    assert np.ptp(yaws) > np.pi / 4
+    # ... but driving is predominantly straight (eval drives are), so the
+    # generator must not leave a residual always-turning prior
+    rate = np.abs(np.diff(yaws))
+    assert (rate < np.deg2rad(0.3)).mean() > 0.5
+
+
+def test_loop_radius_parameter():
+    rng = np.random.default_rng(4)
+    traj = synthetic_trajectory(600, rng, kind="loop", speed=0.9, radius=11.0)
+    yaws = np.unwrap(np.arctan2(traj[:, 1, 0], traj[:, 0, 0]))
+    rate = np.abs(np.diff(yaws))
+    # corner turn rate is speed/radius
+    np.testing.assert_allclose(rate.max(), 0.9 / 11.0, rtol=0.05)
 
 
 def test_sensor_follows_terrain():

@@ -5,8 +5,9 @@ Generates persistent-world drive sequences in the real KITTI tree layout
 then runs the complete production stack at full 64x1800 / 150k-point
 resolution on TPU:
 
-  1. gen    — build worlds + render scans for train seqs (03 wander, 04
-              wander) and the eval seq (07, a closed loop);
+  1. gen    — build worlds + render scans for the train seqs (03/04
+              wander, 06 a wide training loop) and the eval seq (07, a
+              closed loop);
   2. train  — Trainer epochs over the train split;
   3. eval   — evaluate_sequences: batched inference -> trajectory ->
               KITTI RPE metrics (t_rel / r_rel) + plots + error dumps;
@@ -43,7 +44,14 @@ TR = np.array(
 )
 TR4 = np.vstack([TR, [0.0, 0.0, 0.0, 1.0]])
 
-TRAIN_SEQS = [3, 4]   # 801 + 271 frames, "wander" drives with turns
+# train drives must cover the eval drive's regime: mostly-straight cruising,
+# constant-rate cornering (speed/radius up to ~4.4 deg/frame), varied speeds
+TRAIN_SPECS = [
+    (3, "wander", dict(speed=0.9), 100),    # 801 frames
+    (4, "wander", dict(speed=0.7), 101),    # 271 frames
+    (6, "loop", dict(speed=0.85, radius=11.0), 102),  # 1101 frames
+]
+TRAIN_SEQS = [s for s, *_ in TRAIN_SPECS]
 EVAL_SEQ = 7          # 1101 frames, closed loop
 
 
@@ -52,7 +60,7 @@ def seq_frames(seq: int) -> int:
 
 
 def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
-                      speed: float, num_points: int, seed: int):
+                      num_points: int, seed: int, **traj_kwargs):
     from efficientlo_net_tpu.data.synthetic import (
         DriveRenderer, build_world, synthetic_trajectory)
 
@@ -64,7 +72,7 @@ def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
     os.makedirs(os.path.join(gt_dir, "kitti_T_diff"), exist_ok=True)
 
     t0 = time.time()
-    traj = synthetic_trajectory(n, rng, kind=kind, speed=speed)
+    traj = synthetic_trajectory(n, rng, kind=kind, **traj_kwargs)
     world = build_world(traj, rng)
     renderer = DriveRenderer(world)
     print(f"seq {name}: {n} frames, world {len(world)} pts "
@@ -97,11 +105,11 @@ def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
 def stage_gen(args):
     cfg = _model_cfg()
     n_pts = cfg.sensor.num_points
-    for si, seq in enumerate(TRAIN_SEQS):
-        generate_sequence(args.root, args.gt_dir, seq, "wander",
-                          speed=0.9, num_points=n_pts, seed=100 + si)
+    for seq, kind, kwargs, seed in TRAIN_SPECS:
+        generate_sequence(args.root, args.gt_dir, seq, kind,
+                          num_points=n_pts, seed=seed, **kwargs)
     generate_sequence(args.root, args.gt_dir, EVAL_SEQ, "loop",
-                      speed=0.6, num_points=n_pts, seed=7)
+                      num_points=n_pts, seed=7, speed=0.6)
 
 
 def _model_cfg():
@@ -315,8 +323,8 @@ def _write_md(data: dict):
     cfgd = data.get("config", {})
     lines += [
         "",
-        f"Train split: seqs {cfgd.get('train_seqs')} (synthetic 'wander'"
-        f" drives), eval: seq {cfgd.get('eval_seq')} (closed loop);"
+        f"Train split: seqs {cfgd.get('train_seqs')} (synthetic wander +"
+        f" loop drives), eval: seq {cfgd.get('eval_seq')} (closed loop);"
         f" {cfgd.get('epochs')} epochs at batch {cfgd.get('batch')}.",
     ]
     with open(os.path.join(REPO, "docs", "synthetic_drive.md"), "w") as f:
@@ -331,7 +339,7 @@ def main():
     ap.add_argument("--gt_dir", default="/root/drive_data/ground_truth_pose")
     ap.add_argument("--log_dir", default="/root/drive_data/log")
     ap.add_argument("--result_dir", default="/root/drive_data/results")
-    ap.add_argument("--epochs", type=int, default=15)
+    ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--scan_factors", action="store_true", default=True)
