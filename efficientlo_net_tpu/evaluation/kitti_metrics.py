@@ -156,6 +156,7 @@ class SequenceResult:
     t_rel: float  # percent
     r_rel: float  # deg per 100 m
     errors: List[SegmentError]
+    ate_m: float = float("nan")  # unaligned RMS ATE (beyond-reference)
 
     def summary(self) -> str:
         # same format the trainer greps for (kitti_evaluation.py:620,
@@ -177,6 +178,34 @@ def save_sequence_errors(errors: Sequence[SegmentError], path: str) -> None:
             )
 
 
+def absolute_trajectory_error(
+    poses_gt: Sequence[np.ndarray],
+    poses_result: Sequence[np.ndarray],
+    align: bool = True,
+) -> float:
+    """RMS absolute trajectory error (m) between two pose chains.
+
+    Beyond-reference metric (the reference evaluator is RPE-only): RPE over
+    100-800 m segments is a *local* drift-rate measure and barely registers
+    the global consistency a loop closure buys, so the SLAM backend reports
+    ATE alongside it.  ``align=True`` removes the gauge freedom with a
+    closed-form rigid (SE(3), no scale) Horn/Umeyama alignment of the two
+    position sets before differencing.
+    """
+    n = min(len(poses_gt), len(poses_result))
+    gt = np.stack([np.asarray(p)[:3, 3] for p in poses_gt[:n]])
+    est = np.stack([np.asarray(p)[:3, 3] for p in poses_result[:n]])
+    if align and n >= 3:
+        mu_g, mu_e = gt.mean(axis=0), est.mean(axis=0)
+        cov = (est - mu_e).T @ (gt - mu_g) / n
+        u, _, vt = np.linalg.svd(cov)
+        s = np.eye(3)
+        s[2, 2] = np.sign(np.linalg.det(u @ vt))
+        rot = vt.T @ s @ u.T
+        est = (est - mu_e) @ rot.T + mu_g
+    return float(np.sqrt(np.mean(np.sum((gt - est) ** 2, axis=-1))))
+
+
 def evaluate_sequence(
     poses_gt: Sequence[np.ndarray], poses_result: Sequence[np.ndarray], seq: str = "??"
 ) -> SequenceResult:
@@ -187,4 +216,5 @@ def evaluate_sequence(
         t_rel=t * 100.0,
         r_rel=r / np.pi * 180.0 * 100.0,
         errors=errs,
+        ate_m=absolute_trajectory_error(poses_gt, poses_result, align=False),
     )

@@ -142,3 +142,40 @@ def test_save_sequence_errors_roundtrip(tmp_path):
     rows = np.loadtxt(path)
     assert rows.shape == (2, 5)
     np.testing.assert_allclose(rows[1], [10, 2e-4, 0.02, 200.0, 12.5])
+
+
+def test_ate_zero_for_identical_and_rigidly_moved():
+    rng = np.random.default_rng(0)
+    # a wiggly 3D trajectory
+    pts = np.cumsum(rng.normal(0, 0.5, (100, 3)), axis=0)
+    poses = []
+    for p in pts:
+        m = np.eye(4)
+        m[:3, 3] = p
+        poses.append(m)
+    assert KM.absolute_trajectory_error(poses, poses, align=False) == 0.0
+
+    # a rigid transform of the whole trajectory is gauge, not error
+    th = 0.7
+    rot = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1.0]]
+    )
+    moved = []
+    for m in poses:
+        mm = m.copy()
+        mm[:3, 3] = rot @ m[:3, 3] + np.array([5.0, -2.0, 1.0])
+        moved.append(mm)
+    assert KM.absolute_trajectory_error(poses, moved, align=True) < 1e-9
+    assert KM.absolute_trajectory_error(poses, moved, align=False) > 1.0
+
+
+def test_ate_known_offset():
+    poses, off = [], []
+    for i in range(50):
+        m = np.eye(4)
+        m[0, 3] = float(i)
+        poses.append(m)
+        mo = m.copy()
+        mo[1, 3] = 2.0  # constant 2 m lateral offset
+        off.append(mo)
+    assert KM.absolute_trajectory_error(poses, off, align=False) == pytest.approx(2.0)

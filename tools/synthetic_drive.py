@@ -52,7 +52,9 @@ TRAIN_SPECS = [
     (6, "loop", dict(speed=0.85, radius=11.0), 102),  # 1101 frames
 ]
 TRAIN_SEQS = [s for s, *_ in TRAIN_SPECS]
-EVAL_SEQ = 7          # 1101 frames, closed loop
+EVAL_SEQ = 7          # 1101 frames, closed loop (out-of-distribution style)
+HOLDOUT_SEQ = 10      # 1201 frames, wander (in-distribution style, new world)
+HOLDOUT_SPEC = (HOLDOUT_SEQ, "wander", dict(speed=0.75), 110)
 
 
 def seq_frames(seq: int) -> int:
@@ -105,7 +107,7 @@ def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
 def stage_gen(args):
     cfg = _model_cfg()
     n_pts = cfg.sensor.num_points
-    for seq, kind, kwargs, seed in TRAIN_SPECS:
+    for seq, kind, kwargs, seed in TRAIN_SPECS + [HOLDOUT_SPEC]:
         generate_sequence(args.root, args.gt_dir, seq, kind,
                           num_points=n_pts, seed=seed, **kwargs)
     generate_sequence(args.root, args.gt_dir, EVAL_SEQ, "loop",
@@ -143,7 +145,7 @@ def stage_train(args):
     return trainer
 
 
-def _eval_trajectory(args, trainer=None):
+def stage_eval(args, trainer=None):
     import jax
 
     from efficientlo_net_tpu.evaluation.runner import evaluate_sequences
@@ -153,17 +155,20 @@ def _eval_trajectory(args, trainer=None):
         trainer.restore()
     params = jax.device_get(trainer.state.params)
     stats = jax.device_get(trainer.state.batch_stats)
+    seqs = [EVAL_SEQ]
+    if os.path.isdir(os.path.join(args.root, SEQ_NAMES[HOLDOUT_SEQ])):
+        seqs.append(HOLDOUT_SEQ)
     results = evaluate_sequences(
-        trainer.eval_step, params, stats, trainer.dataset, [EVAL_SEQ],
+        trainer.eval_step, params, stats, trainer.dataset, seqs,
         gt_dir=args.gt_dir, result_dir=args.result_dir, batch_size=args.batch,
         make_plots=True,
     )
-    return trainer, results[EVAL_SEQ]
-
-
-def stage_eval(args, trainer=None):
-    trainer, res = _eval_trajectory(args, trainer)
-    out = {"odometry": {"t_rel": res.t_rel, "r_rel": res.r_rel}}
+    out = {}
+    for seq, key in [(EVAL_SEQ, "odometry"), (HOLDOUT_SEQ, "odometry_holdout")]:
+        if seq in results:
+            res = results[seq]
+            out[key] = {"t_rel": res.t_rel, "r_rel": res.r_rel,
+                        "ate_m": res.ate_m}
     _merge_report(args, out)
     print(json.dumps(out))
     return trainer
@@ -174,6 +179,7 @@ def stage_slam(args, trainer=None):
     import jax
 
     from efficientlo_net_tpu.backend.slam import SlamConfig, SlidingWindowSLAM
+    from efficientlo_net_tpu.evaluation import kitti_metrics as KM
     from efficientlo_net_tpu.evaluation.kitti_metrics import (
         evaluate_sequence, load_poses)
     from efficientlo_net_tpu.evaluation.streaming import OdometryStream
@@ -262,9 +268,14 @@ def stage_slam(args, trainer=None):
 
     res_raw = evaluate_sequence(gt, to_cam_rows(np.stack(raw_poses)), seq=name)
     res_ref = evaluate_sequence(gt, to_cam_rows(refined), seq=name)
+    ate_raw = KM.absolute_trajectory_error(gt, to_cam_rows(np.stack(raw_poses)),
+                                           align=False)
+    ate_ref = KM.absolute_trajectory_error(gt, to_cam_rows(refined), align=False)
     out = {
-        "streaming_odometry": {"t_rel": res_raw.t_rel, "r_rel": res_raw.r_rel},
-        "slam_refined": {"t_rel": res_ref.t_rel, "r_rel": res_ref.r_rel},
+        "streaming_odometry": {"t_rel": res_raw.t_rel, "r_rel": res_raw.r_rel,
+                               "ate_m": ate_raw},
+        "slam_refined": {"t_rel": res_ref.t_rel, "r_rel": res_ref.r_rel,
+                         "ate_m": ate_ref},
         "keyframes": int(len(slam.kf_poses)),
         "loop_closures": closures,
         "scan_factors": bool(args.scan_factors),
@@ -300,18 +311,21 @@ def _write_md(data: dict):
         "(streaming odometry -> keyframes -> scan factors + automatic loop",
         "closure -> window optimization).",
         "",
-        "| pipeline | t_rel (%) | r_rel (deg/100m) |",
-        "|---|---|---|",
+        "| pipeline | t_rel (%) | r_rel (deg/100m) | ATE (m) |",
+        "|---|---|---|---|",
     ]
     for key, label in [
-        ("odometry", "batched eval (network only)"),
-        ("streaming_odometry", "streaming odometry (network only)"),
-        ("slam_refined", "SLAM-refined (scan factors + loop closure)"),
+        ("odometry_holdout", "holdout wander drive, batched eval"),
+        ("odometry", "loop drive, batched eval (network only)"),
+        ("streaming_odometry", "loop drive, streaming odometry"),
+        ("slam_refined", "loop drive, SLAM-refined (scan factors + closures)"),
     ]:
         if key in data:
+            ate = data[key].get("ate_m")
             lines.append(
                 f"| {label} | {data[key]['t_rel']:.3f} | "
-                f"{data[key]['r_rel']:.3f} |"
+                f"{data[key]['r_rel']:.3f} | "
+                f"{'-' if ate is None else f'{ate:.3f}'} |"
             )
     if "keyframes" in data:
         lines.append("")
