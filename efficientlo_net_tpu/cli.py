@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--sensor", default=None,
+        help="sensor preset name (hdl64/hdl32e/vlp16/os1_64); overrides "
+             "num_points/num_H_input/num_W_input",
+    )
     p.add_argument("--no_mesh", action="store_true", help="disable multi-device DP")
     p.add_argument(
         "--coordinator", default=None,
@@ -47,15 +52,19 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
 
-    from .config import ModelConfig, SensorConfig, TrainConfig
+    from .config import ModelConfig, SensorConfig, TrainConfig, sensor_preset
     from .parallel.distributed import initialize_distributed
     from .training.trainer import Trainer
 
     initialize_distributed(args.coordinator)
 
-    sensor = SensorConfig(
-        height=args.num_H_input, width=args.num_W_input, num_points=args.num_points
-    )
+    if args.sensor is not None:
+        sensor = sensor_preset(args.sensor)
+    else:
+        sensor = SensorConfig(
+            height=args.num_H_input, width=args.num_W_input,
+            num_points=args.num_points,
+        )
     model_cfg = ModelConfig(sensor=sensor)
     train_cfg = TrainConfig(
         batch_size=args.batch_size,

@@ -155,6 +155,41 @@ def tiny_model_config(height: int = 16, width: int = 128, num_points: int = 2048
     )
 
 
+# Common spinning-LiDAR models as projection presets.  The reference is
+# HDL-64-only (intrinsics hard-coded in model_util.py:192-199); here the
+# whole pipeline reads the sensor model from config, so other sensors are a
+# preset away.  The *network* defaults (strides/kernels/radii) are tuned for
+# the 64x1800 grid — for much coarser sensors, shrink the pyramid the way
+# ``tiny_model_config`` does.
+SENSOR_PRESETS = {
+    "hdl64": SensorConfig(),
+    "hdl32e": SensorConfig(
+        height=32, width=1800,
+        vertical_fov_up_deg=10.67, vertical_fov_down_deg=-30.67,
+        num_points=80000,
+    ),
+    "vlp16": SensorConfig(
+        height=16, width=1800,
+        vertical_fov_up_deg=15.0, vertical_fov_down_deg=-15.0,
+        num_points=40000,
+    ),
+    "os1_64": SensorConfig(
+        height=64, width=1024,
+        vertical_fov_up_deg=16.6, vertical_fov_down_deg=-16.6,
+        num_points=70000,
+    ),
+}
+
+
+def sensor_preset(name: str) -> SensorConfig:
+    try:
+        return SENSOR_PRESETS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown sensor preset {name!r}; have {sorted(SENSOR_PRESETS)}"
+        ) from None
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     """Optimization hyperparameters (reference main.py:44-108)."""

@@ -106,3 +106,33 @@ def test_pixel_coords_hdl64_ranges():
     row, col, valid, r = pixel_coords(jnp.asarray(pts), 64, 1800, sensor)
     assert int(jnp.min(row)) >= 0 and int(jnp.max(row)) <= 63
     assert int(jnp.min(col)) >= 0 and int(jnp.max(col)) <= 1799
+
+
+def test_sensor_presets_project():
+    """Every preset sensor projects a synthetic scan onto its own grid with
+    the same validity semantics as the HDL-64 default."""
+    from efficientlo_net_tpu.config import SENSOR_PRESETS, sensor_preset
+
+    rng = np.random.default_rng(0)
+    for name, sensor in SENSOR_PRESETS.items():
+        assert sensor_preset(name) is sensor
+        n = 4096
+        pts = np.zeros((1, n, 3), np.float32)
+        m = n // 2
+        az = rng.uniform(-np.pi, np.pi, m)
+        el = np.deg2rad(rng.uniform(
+            sensor.vertical_fov_down_deg, sensor.vertical_fov_up_deg, m))
+        r = rng.uniform(3.0, 30.0, m)
+        pts[0, :m, 0] = r * np.cos(el) * np.cos(az)
+        pts[0, :m, 1] = r * np.cos(el) * np.sin(az)
+        pts[0, :m, 2] = r * np.sin(el)
+        img, _ = project_to_range_image(
+            jnp.asarray(pts), None, sensor.height, sensor.width, sensor)
+        img = np.asarray(img)
+        assert img.shape == (1, sensor.height, sensor.width, 3)
+        filled = np.any(img != 0, axis=-1).sum()
+        assert filled > m * 0.8  # few collisions at this density
+
+    import pytest
+    with pytest.raises(ValueError):
+        sensor_preset("nope")
