@@ -1,0 +1,94 @@
+"""Model export for deployment: serialized StableHLO inference artifacts.
+
+Beyond-reference subsystem (the reference ships TF1 ``tf.train.Saver``
+checkpoints that require the full training codebase plus compiled CUDA ops
+to run, main.py:194-197).  Here the complete odometry inference function —
+cylindrical projection + PWCLO forward, weights baked in as constants — is
+exported with ``jax.export`` to a single self-contained StableHLO blob that
+any JAX runtime can load and run *without this package*, on CPU or TPU
+(``platforms`` pins the lowering targets; cross-platform artifacts embed
+one module per platform).
+
+Shapes are static (batch size and point count are fixed at export time),
+matching the framework-wide static-shape design.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.projection import project_to_range_image
+
+FILE_SUFFIX = ".stablehlo"
+
+
+def make_infer_fn(model, cfg: ModelConfig, variables):
+    """The production odometry inference path as a pure function of two raw
+    scans: pack-project both frames, run the forward, return the finest-level
+    (l0) pose.  ``variables`` are closed over (exported as constants)."""
+    h, w = cfg.sensor.height, cfg.sensor.width
+
+    def infer(pc1: jnp.ndarray, pc2: jnp.ndarray):
+        p1, _ = project_to_range_image(
+            pc1, None, h, w, cfg.sensor, method="packed"
+        )
+        p2, _ = project_to_range_image(
+            pc2, None, h, w, cfg.sensor, method="packed"
+        )
+        out = model.apply(variables, p1, p2, training=False)
+        return out["q"][0], out["t"][0]
+
+    return infer
+
+
+def export_odometry(
+    model,
+    cfg: ModelConfig,
+    variables,
+    batch_size: int = 1,
+    num_points: Optional[int] = None,
+    platforms: Sequence[str] = ("cpu", "tpu"),
+) -> bytes:
+    """Serialize the full inference function to a StableHLO artifact.
+
+    Returns the serialized bytes; write them with ``save_artifact`` or
+    ``bytes.decode``-free file IO.  ``num_points`` defaults to the sensor's
+    padded scan size.
+    """
+    n = num_points or cfg.sensor.num_points
+    spec = jax.ShapeDtypeStruct((batch_size, n, 3), jnp.float32)
+    infer = make_infer_fn(model, cfg, variables)
+    exp = jax.export.export(jax.jit(infer), platforms=tuple(platforms))(
+        spec, spec
+    )
+    return exp.serialize()
+
+
+def save_artifact(path: str, blob: bytes) -> str:
+    if not path.endswith(FILE_SUFFIX):
+        path = path + FILE_SUFFIX
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_odometry(path_or_blob) -> Tuple[object, callable]:
+    """Load a serialized artifact; returns ``(exported, call)`` where
+    ``call(pc1, pc2) -> (q, t)`` runs on the current default backend."""
+    if isinstance(path_or_blob, (bytes, bytearray)):
+        blob = bytes(path_or_blob)
+    else:
+        with open(path_or_blob, "rb") as f:
+            blob = f.read()
+    exported = jax.export.deserialize(blob)
+
+    def call(pc1, pc2):
+        return exported.call(jnp.asarray(pc1), jnp.asarray(pc2))
+
+    return exported, call
