@@ -368,3 +368,13 @@ class SlidingWindowSLAM:
 
     def keyframe_trajectory(self) -> np.ndarray:
         return np.stack(self.kf_poses)
+
+    def render_map(self, voxel: float = 0.2,
+                   max_range: Optional[float] = None) -> np.ndarray:
+        """World-frame point map fused from the keyframes' range-image
+        payloads at the current (optimized) poses; see backend/mapping.py."""
+        from .mapping import assemble_map
+
+        return assemble_map(
+            self.kf_poses, self.kf_payloads, voxel=voxel, max_range=max_range
+        )

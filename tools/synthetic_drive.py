@@ -266,6 +266,15 @@ def stage_slam(args, trainer=None):
         cams = np.einsum("ij,njk,kl->nil", TR4, poses, np.linalg.inv(TR4))
         return [c for c in cams]
 
+    # fused world map from the optimized keyframes (PLY + top-down figure)
+    from efficientlo_net_tpu.backend.mapping import save_map_ply
+
+    map_pts = slam.render_map(voxel=0.3, max_range=30.0)
+    os.makedirs(args.result_dir, exist_ok=True)
+    save_map_ply(os.path.join(args.result_dir, "map.ply"), map_pts)
+    _plot_map(map_pts, np.stack(slam.kf_poses),
+              os.path.join(REPO, "docs", "synthetic_drive_map.png"))
+
     res_raw = evaluate_sequence(gt, to_cam_rows(np.stack(raw_poses)), seq=name)
     res_ref = evaluate_sequence(gt, to_cam_rows(refined), seq=name)
     ate_raw = KM.absolute_trajectory_error(gt, to_cam_rows(np.stack(raw_poses)),
@@ -279,9 +288,32 @@ def stage_slam(args, trainer=None):
         "keyframes": int(len(slam.kf_poses)),
         "loop_closures": closures,
         "scan_factors": bool(args.scan_factors),
+        "map_points": int(len(map_pts)),
     }
     _merge_report(args, out)
     print(json.dumps(out))
+
+
+def _plot_map(map_pts: np.ndarray, kf_poses: np.ndarray, path: str):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 7), dpi=120)
+    if len(map_pts):
+        ax.scatter(map_pts[:, 0], map_pts[:, 1], s=0.2, c=map_pts[:, 2],
+                   cmap="viridis", linewidths=0, rasterized=True)
+    ax.plot(kf_poses[:, 0, 3], kf_poses[:, 1, 3], "r-", lw=1.2,
+            label="keyframe trajectory")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x (m)")
+    ax.set_ylabel("y (m)")
+    ax.legend(loc="upper right")
+    ax.set_title("SLAM map (voxelized keyframe fusion, height-colored)")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
 
 
 def _merge_report(args, new: dict):
@@ -334,6 +366,12 @@ def _write_md(data: dict):
             f"loop closures: {data.get('loop_closures')}, "
             f"scan factors: {data.get('scan_factors')}."
         )
+        if data.get("map_points"):
+            lines.append(
+                f"Fused keyframe map: {data['map_points']} voxelized points "
+                "(`results/map.ply`; top-down view: "
+                "![map](synthetic_drive_map.png))."
+            )
     cfgd = data.get("config", {})
     lines += [
         "",
