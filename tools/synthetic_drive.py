@@ -275,6 +275,11 @@ def stage_slam(args, trainer=None):
     _plot_map(map_pts, np.stack(slam.kf_poses),
               os.path.join(REPO, "docs", "synthetic_drive_map.png"))
 
+    # map accuracy against the true world (deterministically rebuilt from
+    # the generation seed); the SLAM frame is frame 0's lidar frame, so
+    # re-anchor with the true world_T_frame0 before comparing
+    map_err = _map_accuracy(map_pts)
+
     res_raw = evaluate_sequence(gt, to_cam_rows(np.stack(raw_poses)), seq=name)
     res_ref = evaluate_sequence(gt, to_cam_rows(refined), seq=name)
     ate_raw = KM.absolute_trajectory_error(gt, to_cam_rows(np.stack(raw_poses)),
@@ -289,9 +294,28 @@ def stage_slam(args, trainer=None):
         "loop_closures": closures,
         "scan_factors": bool(args.scan_factors),
         "map_points": int(len(map_pts)),
+        "map_median_dist_m": map_err,
     }
     _merge_report(args, out)
     print(json.dumps(out))
+
+
+def _map_accuracy(map_pts: np.ndarray) -> float:
+    """Median distance (m) from fused-map points to the true world surface."""
+    if not len(map_pts):
+        return float("nan")
+    from scipy.spatial import cKDTree
+
+    from efficientlo_net_tpu.data.synthetic import (
+        build_world, synthetic_trajectory)
+
+    rng = np.random.default_rng(7)  # the eval sequence's generation seed
+    traj = synthetic_trajectory(seq_frames(EVAL_SEQ), rng, kind="loop",
+                                speed=0.6)
+    world = build_world(traj, rng)
+    anchored = map_pts @ traj[0][:3, :3].T + traj[0][:3, 3]
+    d, _ = cKDTree(world).query(anchored, workers=-1)
+    return float(np.median(d))
 
 
 def _plot_map(map_pts: np.ndarray, kf_poses: np.ndarray, path: str):
@@ -367,9 +391,14 @@ def _write_md(data: dict):
             f"scan factors: {data.get('scan_factors')}."
         )
         if data.get("map_points"):
+            err = data.get("map_median_dist_m")
+            err_txt = (
+                f", median distance to true world {err:.3f} m"
+                if err is not None and not np.isnan(err) else ""
+            )
             lines.append(
-                f"Fused keyframe map: {data['map_points']} voxelized points "
-                "(`results/map.ply`; top-down view: "
+                f"Fused keyframe map: {data['map_points']} voxelized points"
+                f"{err_txt} (`results/map.ply`; top-down view: "
                 "![map](synthetic_drive_map.png))."
             )
     cfgd = data.get("config", {})
