@@ -99,6 +99,34 @@ def bench_model():
           f"({1e3 * dt / 8:.3f} ms/frame)")
 
 
+def bench_stages():
+    """Per-stage forward breakdown: pyramid vs correlation/refinement.
+
+    The pyramid (4 down_convs per frame over 64x1800 -> 4x29) is timed via
+    the module method directly; the correlation + warp-refinement remainder
+    is the full forward minus two pyramids.  Together with the projection
+    stage this is the auditable top-level cost decomposition of a frame.
+    """
+    cfg, model, variables, pc1, pc2, p1, p2 = _model_setup()
+
+    def pyramid(eps, p1):
+        feats = model.apply(
+            variables, p1 + eps, False, 0.99, False,
+            method=model._pyramid,
+        )
+        return feats[-1][1]
+
+    dt = chain_timer(pyramid, (p1,))
+    RESULTS["pyramid_ms_per_frame"] = round(1e3 * dt / 8, 3)
+    print(f"pyramid (4 down_convs) B=8: {1e3 * dt:.2f} ms/iter "
+          f"({1e3 * dt / 8:.3f} ms/frame)")
+    fwd = RESULTS.get("forward_ms_per_frame")
+    if fwd:
+        rem = fwd - 2 * RESULTS["pyramid_ms_per_frame"]
+        RESULTS["correlation_refine_ms_per_frame"] = round(rem, 3)
+        print(f"correlation+refinement (derived): {rem:.3f} ms/frame")
+
+
 def bench_train():
     import jax
 
@@ -141,6 +169,8 @@ if __name__ == "__main__":
         bench_projection()
     if what in ("model", "all"):
         bench_model()
+    if what in ("stages", "all"):
+        bench_stages()
     if what in ("train", "all"):
         bench_train()
     if "--json" in sys.argv:
