@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="sensor preset name (hdl64/hdl32e/vlp16/os1_64); overrides "
              "num_points/num_H_input/num_W_input",
     )
+    p.add_argument(
+        "--compute_dtype", default="float32", choices=["float32", "bfloat16"],
+        help="MLP compute dtype (pose heads / BN stats stay f32); see "
+             "docs/bf16_perf.md for the measured trade-off",
+    )
     p.add_argument("--no_mesh", action="store_true", help="disable multi-device DP")
     p.add_argument(
         "--coordinator", default=None,
@@ -65,7 +70,7 @@ def main(argv=None) -> None:
             height=args.num_H_input, width=args.num_W_input,
             num_points=args.num_points,
         )
-    model_cfg = ModelConfig(sensor=sensor)
+    model_cfg = ModelConfig(sensor=sensor, compute_dtype=args.compute_dtype)
     train_cfg = TrainConfig(
         batch_size=args.batch_size,
         base_learning_rate=args.learning_rate,
