@@ -102,8 +102,19 @@ def _residual_and_jacobians(t_i, t_j, z):
     return r, j_i, j_j
 
 
-def _accumulate(poses, factors: FactorGraph):
-    """Per-shard (H, b, chi2) from a block of factors — vectorized."""
+def _accumulate(poses, factors: FactorGraph, robust=None):
+    """Per-shard (H, b, chi2) from a block of factors — vectorized.
+
+    ``robust = (kernel, delta)`` scales each factor's information by an IRLS
+    weight of the whitened residual norm chi = ||r||_Sigma:
+
+    * ``("huber", d)``: min(1, d/chi) — bounds influence linearly; good for
+      moderately heavy tails, still pulled by gross outliers.
+    * ``("gm", d)``: Geman-McClure (d^2/(d^2+chi^2))^2 — redescending: a
+      false loop closure's weight decays as chi^-4, effectively switching
+      the factor off (the "switchable constraints" behavior).
+
+    The reported chi2 is the corresponding robust cost rho(chi)."""
     t_i = poses[factors.src]
     t_j = poses[factors.dst]
     r, j_i, j_j = jax.vmap(_residual_and_jacobians)(t_i, t_j, factors.meas)
@@ -116,11 +127,34 @@ def _accumulate(poses, factors: FactorGraph):
         info = factors.weight
     info = info * factors.valid[:, None, None]
 
+    if robust is not None:
+        kernel, delta = robust
+        chi_sq = jnp.maximum(
+            (r[:, None, :] @ info @ r[..., None])[:, 0, 0], 1e-12
+        )                                        # (F,) whitened chi^2
+        if kernel == "huber":
+            chi_f = jnp.sqrt(chi_sq)
+            scale = jnp.minimum(1.0, delta / chi_f)
+            rho = jnp.where(
+                chi_f <= delta,
+                chi_sq,
+                delta * (2.0 * chi_f - delta),
+            )
+        elif kernel == "gm":
+            d2 = delta * delta
+            scale = (d2 / (d2 + chi_sq)) ** 2
+            rho = d2 * chi_sq / (d2 + chi_sq)
+        else:
+            raise ValueError(f"unknown robust kernel {kernel!r}")
+        info = info * scale[:, None, None]
+
     n = poses.shape[0]
     dim = 6 * n
 
     wr = (info @ r[..., None])[..., 0]          # (F, 6)
     chi2 = jnp.sum(r * wr)
+    if robust is not None:
+        chi2 = jnp.sum(rho * factors.valid)
 
     # block contributions
     h_ii = jnp.swapaxes(j_i, -1, -2) @ info @ j_i   # (F, 6, 6)
@@ -157,6 +191,19 @@ class GaussNewtonConfig:
     iterations: int = 10
     damping: float = 1e-6
     prior_weight: float = 1e6  # gauge fix on node 0
+    # IRLS robustification threshold on the whitened residual norm
+    # ||r||_Sigma; None disables.  ~1.0 leaves healthy residuals untouched.
+    robust_delta: "float | None" = None
+    # "huber" (bounded influence) or "gm" (Geman-McClure, redescending:
+    # gross outliers such as false loop closures are switched off)
+    robust_kernel: str = "huber"
+
+    @property
+    def robust(self):
+        return (
+            None if self.robust_delta is None
+            else (self.robust_kernel, self.robust_delta)
+        )
 
 
 @dataclasses.dataclass
@@ -266,9 +313,11 @@ def _optimize_jit(poses, factors, prior, scan_factors, *, cfg, mesh):
     window optimizations (sliding-window SLAM) compile once per shape
     bucket instead of retracing every call."""
     if mesh is None:
-        reduce_fn = _accumulate
+        reduce_fn = partial(_accumulate, robust=cfg.robust)
     else:
-        reduce_fn = _make_distributed_reduce(mesh, factors.num_nodes)
+        reduce_fn = _make_distributed_reduce(
+            mesh, factors.num_nodes, robust=cfg.robust
+        )
 
     scan_terms = None
     if scan_factors is not None:
@@ -296,7 +345,7 @@ def _optimize_jit(poses, factors, prior, scan_factors, *, cfg, mesh):
     return final, history
 
 
-def _make_distributed_reduce(mesh, num_nodes):
+def _make_distributed_reduce(mesh, num_nodes, robust=None):
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
@@ -308,7 +357,7 @@ def _make_distributed_reduce(mesh, num_nodes):
                 src=src, dst=dst, meas=meas, weight=weight, valid=valid,
                 num_nodes=num_nodes,
             )
-            h, b, chi2 = _accumulate(poses, fg)
+            h, b, chi2 = _accumulate(poses, fg, robust=robust)
             return (
                 jax.lax.psum(h, axis),
                 jax.lax.psum(b, axis),

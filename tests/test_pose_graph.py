@@ -118,6 +118,58 @@ def test_distributed_reduction_matches_single_device():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-3)
 
 
+def test_gm_rejects_false_closure():
+    """A grossly wrong loop-closure factor must not corrupt the solution
+    under the redescending Geman-McClure kernel — and must visibly corrupt
+    it when robustification is off (otherwise the test proves nothing)."""
+    rng = np.random.default_rng(5)
+    n = 30
+    gt, src, dst, meas = make_chain(rng, n, drift=0.01)
+
+    # false closure: claims node 0 and node n-1 coincide (they are far apart)
+    z_false = np.eye(4, dtype=np.float32)
+    src = np.concatenate([src, [0]])
+    dst = np.concatenate([dst, [n - 1]])
+    meas = np.concatenate([meas, z_false[None]])
+    weight = np.ones(len(src), dtype=np.float32)
+    weight[-1] = 100.0
+
+    init = integrate(meas[: n - 1], n)
+    factors = PG.make_factors(src, dst, meas, weight, num_nodes=n)
+
+    naive, _ = PG.optimize(
+        jnp.asarray(init), factors, PG.GaussNewtonConfig(iterations=15)
+    )
+    robust, _ = PG.optimize(
+        jnp.asarray(init), factors,
+        PG.GaussNewtonConfig(
+            iterations=15, robust_delta=1.0, robust_kernel="gm"
+        ),
+    )
+    err_naive = pose_rmse(np.asarray(naive), gt)
+    err_robust = pose_rmse(np.asarray(robust), gt)
+    err_init = pose_rmse(init, gt)
+
+    assert err_naive > 3.0          # the false closure wrecks the naive solve
+    assert err_robust < err_naive * 0.2
+    assert err_robust < err_init + 0.1  # no worse than raw odometry
+
+
+def test_huber_inactive_within_band():
+    """With all residuals inside the Huber band the robust solve must match
+    the plain one exactly (weight scale saturates at 1)."""
+    rng = np.random.default_rng(6)
+    n = 12
+    gt, src, dst, meas = make_chain(rng, n, drift=0.01)
+    factors = PG.make_factors(src, dst, meas, num_nodes=n)
+    init = jnp.asarray(integrate(meas, n).astype(np.float32))
+    o1, _ = PG.optimize(init, factors, PG.GaussNewtonConfig(iterations=5))
+    o2, _ = PG.optimize(
+        init, factors, PG.GaussNewtonConfig(iterations=5, robust_delta=10.0)
+    )
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
 def test_marginalization_preserves_information():
     """Schur-eliminating a node must give the same solution for the kept
     nodes as solving the full system and reading off the kept block."""
