@@ -206,11 +206,16 @@ def stage_slam(args, trainer=None):
         m[:3, 3] = np.asarray(t, dtype=np.float64).reshape(3)
         return m
 
+    from efficientlo_net_tpu.backend import pose_graph as pg
+
+    gn = pg.GaussNewtonConfig(
+        robust_delta=1.0 if args.robust else None, robust_kernel="gm"
+    )
     slam = SlidingWindowSLAM(
         SlamConfig(
             keyframe_distance=2.0, window_size=20, optimize_every=5,
             closure_radius=6.0, closure_min_gap=15,
-            use_scan_factors=args.scan_factors,
+            use_scan_factors=args.scan_factors, gn=gn,
         ),
         closure_fn=closure_fn,
         scan_sensor=cfg.sensor if args.scan_factors else None,
@@ -285,11 +290,12 @@ def stage_slam(args, trainer=None):
     ate_raw = KM.absolute_trajectory_error(gt, to_cam_rows(np.stack(raw_poses)),
                                            align=False)
     ate_ref = KM.absolute_trajectory_error(gt, to_cam_rows(refined), align=False)
+    slam_key = "slam_refined_robust" if args.robust else "slam_refined"
     out = {
         "streaming_odometry": {"t_rel": res_raw.t_rel, "r_rel": res_raw.r_rel,
                                "ate_m": ate_raw},
-        "slam_refined": {"t_rel": res_ref.t_rel, "r_rel": res_ref.r_rel,
-                         "ate_m": ate_ref},
+        slam_key: {"t_rel": res_ref.t_rel, "r_rel": res_ref.r_rel,
+                   "ate_m": ate_ref},
         "keyframes": int(len(slam.kf_poses)),
         "loop_closures": closures,
         "scan_factors": bool(args.scan_factors),
@@ -375,6 +381,7 @@ def _write_md(data: dict):
         ("odometry", "loop drive, batched eval (network only)"),
         ("streaming_odometry", "loop drive, streaming odometry"),
         ("slam_refined", "loop drive, SLAM-refined (scan factors + closures)"),
+        ("slam_refined_robust", "loop drive, SLAM-refined (GM robust kernel)"),
     ]:
         if key in data:
             ate = data[key].get("ate_m")
@@ -426,6 +433,8 @@ def main():
     ap.add_argument("--scan_factors", action="store_true", default=True)
     ap.add_argument("--no_scan_factors", dest="scan_factors",
                     action="store_false")
+    ap.add_argument("--robust", action="store_true",
+                    help="Geman-McClure robust kernel in the SLAM window")
     args = ap.parse_args()
 
     trainer = None
