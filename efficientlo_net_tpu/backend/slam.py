@@ -57,6 +57,10 @@ class SlamConfig:
     use_scan_factors: bool = False
     scan_max_dist: float = 1.0
     scan_weight: float = 1.0
+    # pixel-stride subsampling of each pair's correspondence block: a 6-DoF
+    # constraint needs thousands, not all H*W=115200 pixels; 4 keeps ~29k
+    # candidates per pair and cuts the per-iteration Jacobian work 4x
+    scan_subsample: int = 4
     gn: pg.GaussNewtonConfig = dataclasses.field(default_factory=pg.GaussNewtonConfig)
 
 
@@ -85,18 +89,24 @@ class SlidingWindowSLAM:
         mesh=None,
         closure_fn: Optional[Callable] = None,
         scan_sensor=None,
+        initial_payload=None,
     ):
         self.cfg = cfg
         self.mesh = mesh
         self.closure_fn = closure_fn
         self.scan_sensor = scan_sensor  # SensorConfig for scan-factor payloads
-        # keyframe state
+        # keyframe state; keyframe 0 is the drive origin — give it a payload
+        # (``initial_payload`` or ``set_initial_payload``) so closures back
+        # to the start and the first scan-factor pair are measurable
         self.kf_poses: List[np.ndarray] = [np.eye(4)]       # world_T_kf
         self.kf_frame_ids: List[int] = [0]
-        self.kf_payloads: List[object] = [None]
+        self.kf_payloads: List[object] = [initial_payload]
         # factors between keyframes (global keyframe ids)
         self.factors: List[Tuple[int, int, np.ndarray, float]] = []
         self.closed_pairs: set = set()
+        # per-keyframe range-image normals (computed once per keyframe, the
+        # payload is immutable after promotion)
+        self._normal_cache: dict = {}
         # marginalization prior over global keyframe ids (pg.PriorFactor)
         self._prior: Optional[pg.PriorFactor] = None
         self._frozen_ids: set = set()   # keyframes already marginalized away
@@ -106,6 +116,11 @@ class SlidingWindowSLAM:
         self._kf_since_opt = 0
         self._last_payload: object = None
         self.full_trajectory: List[np.ndarray] = [np.eye(4)]
+
+    def set_initial_payload(self, payload) -> None:
+        """Attach the first frame's payload to keyframe 0 (the drive
+        origin), making it a valid loop-closure / scan-factor target."""
+        self.kf_payloads[0] = payload
 
     # -- frontend ---------------------------------------------------------
     def add_frame(self, q: np.ndarray, t: np.ndarray, payload=None) -> None:
@@ -187,28 +202,16 @@ class SlidingWindowSLAM:
         lo = max(0, n - self.cfg.window_size)
         return np.arange(lo, n)
 
-    def _prior_mini_contribution(self, nodes, id_map):
-        """(H, b) contribution of the current prior inside a mini system over
-        ``nodes`` (all prior nodes must be present)."""
-        p = self._prior
-        dim = 6 * len(nodes)
-        h = np.zeros((dim, dim), dtype=np.float64)
-        b = np.zeros((dim,), dtype=np.float64)
-        sel = np.concatenate(
-            [id_map[g] * 6 + np.arange(6) for g in p.node_ids]
+    def _prior_mini_contribution(self, mini_poses, id_map):
+        """(H, b) contribution of the current prior inside a mini system
+        (all prior nodes must be present in ``id_map``) — evaluated by the
+        solver's own ``pg._prior_contribution`` so the linearization /
+        convention lives in exactly one place."""
+        local = self._prior.shifted(
+            np.array([id_map[g] for g in self._prior.node_ids])
         )
-        cur = np.stack([self.kf_poses[g] for g in p.node_ids]).astype(np.float32)
-        delta = np.asarray(
-            jnp.stack([
-                se3.se3_log(se3.se3_inv(jnp.asarray(lin)) @ jnp.asarray(c))
-                for lin, c in zip(np.asarray(p.lin_poses), cur)
-            ])
-        ).reshape(-1)
-        h_p = np.asarray(p.h, dtype=np.float64)
-        b_p = np.asarray(p.b, dtype=np.float64) + h_p @ delta
-        h[np.ix_(sel, sel)] += h_p
-        b[sel] += b_p
-        return h, b
+        h, b, _ = pg._prior_contribution(mini_poses, local)
+        return np.asarray(h, dtype=np.float64), np.asarray(b, dtype=np.float64)
 
     def _marginalize_departed(self, lo: int) -> None:
         """Schur-fold everything touching keyframes below ``lo`` into a dense
@@ -252,7 +255,7 @@ class SlidingWindowSLAM:
             h = np.zeros((dim, dim))
             b = np.zeros((dim,))
         if self._prior is not None:
-            h_p, b_p = self._prior_mini_contribution(nodes, id_map)
+            h_p, b_p = self._prior_mini_contribution(poses, id_map)
             h += h_p
             b += b_p
 
@@ -345,21 +348,35 @@ class SlidingWindowSLAM:
             return None
         from . import scan_factors as sfm
 
+        def normals_of(kf: int):
+            # payloads are immutable after promotion — compute once per kf
+            if kf not in self._normal_cache:
+                n, _ = sfm.compute_normals(jnp.asarray(self.kf_payloads[kf]))
+                self._normal_cache[kf] = n
+            return self._normal_cache[kf]
+
+        # normals for keyframes behind the window are never needed again
+        # (scan pairs are consecutive in-window keyframes)
+        for kf in [k for k in self._normal_cache if k < ids[0]]:
+            del self._normal_cache[kf]
+
+        s = max(1, self.cfg.scan_subsample)
         pairs, corrs = [], []
         for a, b in zip(ids[:-1], ids[1:]):
             img_a, img_b = self.kf_payloads[a], self.kf_payloads[b]
             if img_a is None or img_b is None:
                 continue
-            corr = sfm.correspondences_for_pair(
-                jnp.asarray(img_a), jnp.asarray(img_b),
-                poses0[id_map[a]], poses0[id_map[b]],
-                self.scan_sensor, max_dist=self.cfg.scan_max_dist,
+            t_ab = se3.se3_inv(poses0[id_map[a]]) @ poses0[id_map[b]]
+            corr = sfm.projective_association(
+                jnp.asarray(img_b), jnp.asarray(img_a), normals_of(a),
+                t_ab, self.scan_sensor, max_dist=self.cfg.scan_max_dist,
+                normals_j=normals_of(b),
             )
             pairs.append((id_map[a], id_map[b]))
             corrs.append(
                 sfm.Correspondences(
-                    p_j=corr.p_j, q_i=corr.q_i, n_i=corr.n_i,
-                    w=corr.w * self.cfg.scan_weight,
+                    p_j=corr.p_j[::s], q_i=corr.q_i[::s], n_i=corr.n_i[::s],
+                    w=corr.w[::s] * self.cfg.scan_weight,
                 )
             )
         if not pairs:

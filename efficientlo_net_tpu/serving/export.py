@@ -29,18 +29,29 @@ FILE_SUFFIX = ".stablehlo"
 
 def make_infer_fn(model, cfg: ModelConfig, variables):
     """The production odometry inference path as a pure function of two raw
-    scans: pack-project both frames, run the forward, return the finest-level
-    (l0) pose.  ``variables`` are closed over (exported as constants)."""
+    scans: validity-mask + planar-crop (the training distribution,
+    models/preprocess.py; reference model_util.py:380-383), pack-project both
+    frames, run the forward, return the finest-level (l0) pose.
+    ``variables`` are closed over (exported as constants)."""
     h, w = cfg.sensor.height, cfg.sensor.width
 
+    def prep(points):
+        # crop exactly like OdometryStream: uncropped far points would both
+        # skew the input distribution and break the packed method's 60 m
+        # quantization assumption
+        valid = jnp.any(points != 0.0, axis=-1)
+        keep = valid & (
+            jnp.linalg.norm(points[..., :2], axis=-1)
+            <= cfg.sensor.max_planar_radius
+        )
+        cropped = points * keep[..., None]
+        img, _ = project_to_range_image(
+            cropped, None, h, w, cfg.sensor, method="packed"
+        )
+        return img
+
     def infer(pc1: jnp.ndarray, pc2: jnp.ndarray):
-        p1, _ = project_to_range_image(
-            pc1, None, h, w, cfg.sensor, method="packed"
-        )
-        p2, _ = project_to_range_image(
-            pc2, None, h, w, cfg.sensor, method="packed"
-        )
-        out = model.apply(variables, p1, p2, training=False)
+        out = model.apply(variables, prep(pc1), prep(pc2), training=False)
         return out["q"][0], out["t"][0]
 
     return infer
@@ -63,9 +74,25 @@ def export_odometry(
     n = num_points or cfg.sensor.num_points
     spec = jax.ShapeDtypeStruct((batch_size, n, 3), jnp.float32)
     infer = make_infer_fn(model, cfg, variables)
-    exp = jax.export.export(jax.jit(infer), platforms=tuple(platforms))(
-        spec, spec
-    )
+    # the Pallas neighbor kernels lower only for the tpu platform; a
+    # portable artifact must trace the pure-XLA formulation (the neighbor
+    # impl is chosen at trace time from ELO_NEIGHBOR_IMPL / the backend, so
+    # exporting from a TPU-backed session would otherwise bake in Pallas
+    # and fail the cpu lowering)
+    portable = any(p != "tpu" for p in platforms)
+    prev = os.environ.get("ELO_NEIGHBOR_IMPL")
+    if portable:
+        os.environ["ELO_NEIGHBOR_IMPL"] = "fast"
+    try:
+        exp = jax.export.export(jax.jit(infer), platforms=tuple(platforms))(
+            spec, spec
+        )
+    finally:
+        if portable:
+            if prev is None:
+                os.environ.pop("ELO_NEIGHBOR_IMPL", None)
+            else:
+                os.environ["ELO_NEIGHBOR_IMPL"] = prev
     return exp.serialize()
 
 

@@ -50,6 +50,14 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        # the best model lives outside the latest-N rotation (its own
+        # single-slot manager) so routine saves can never evict it —
+        # mirrors the reference's dedicated best-model directories
+        # (main.py:233-235)
+        self._best_mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "best"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
         self._best_path = os.path.join(self.directory, "best.json")
 
     def _meta_path(self, step: int) -> str:
@@ -106,12 +114,36 @@ class CheckpointManager:
                 return json.load(f)["val_t_rel"]
         return float("inf")
 
-    def mark_best(self, step: int, val_t_rel: float) -> None:
-        """Point ``best.json`` at an already-saved step (process-0 only)."""
+    def mark_best(
+        self, step: int, val_t_rel: float, state: Optional[TrainState] = None
+    ) -> None:
+        """Record ``step`` as the best model.  With ``state`` given, also
+        copy it into the eviction-proof ``best/`` slot (otherwise only
+        ``best.json`` is updated — valid as long as the step is still in
+        the latest-N rotation)."""
+        if state is not None:
+            self._best_mgr.save(
+                step, args=ocp.args.StandardSave(jax.device_get(state))
+            )
+            self._best_mgr.wait_until_finished()
         if _is_primary():
             with open(self._best_path, "w") as f:
                 json.dump({"val_t_rel": val_t_rel, "step": step}, f)
         _barrier("ckpt_best")
+
+    def restore_best(self, state: TrainState) -> TrainState:
+        """Restore the best-validation model (the ``best/`` slot, falling
+        back to the rotation step recorded in ``best.json``)."""
+        step = self._best_mgr.latest_step()
+        if step is not None:
+            target = jax.device_get(state)
+            return self._best_mgr.restore(
+                step, args=ocp.args.StandardRestore(target)
+            )
+        if os.path.exists(self._best_path):
+            with open(self._best_path) as f:
+                return self.restore(state, json.load(f)["step"])
+        raise FileNotFoundError(f"no best checkpoint in {self.directory}")
 
     def maybe_save_best(
         self,
@@ -124,5 +156,5 @@ class CheckpointManager:
         if not np.isfinite(val_t_rel) or val_t_rel >= self.best_error():
             return False
         step = self.save(state, metrics={"val_t_rel": val_t_rel}, epoch=epoch)
-        self.mark_best(step, val_t_rel)
+        self.mark_best(step, val_t_rel, state=state)
         return True

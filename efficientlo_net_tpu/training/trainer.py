@@ -200,5 +200,5 @@ class Trainer:
                     self.state, metrics={"val_t_rel": val}, epoch=epoch
                 )
                 if is_best:
-                    self.ckpt.mark_best(step, val)
+                    self.ckpt.mark_best(step, val, state=self.state)
                     self.logger.log(f"new best model saved (val t_rel {val:.4f})")

@@ -61,6 +61,31 @@ def test_epoch_metadata_and_resume(tmp_path):
     assert mgr.metadata(42)["val_t_rel"] == 1.20
 
 
+def test_best_survives_rotation_eviction(tmp_path):
+    """Routine latest-N saves must never evict the best model: after
+    max_to_keep newer saves, restore_best still returns the best state."""
+    model = PWCLONet(CFG)
+    state = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), max_to_keep=2)
+
+    best_state = state.replace(step=jnp.asarray(10, dtype=jnp.int32))
+    assert mgr.maybe_save_best(best_state, 1.0)
+
+    # plateau: five newer routine saves roll the rotation past the best step
+    for s in (20, 30, 40, 50, 60):
+        mgr.save(state.replace(step=jnp.asarray(s, dtype=jnp.int32)), epoch=s)
+    assert 10 not in (mgr._mgr.all_steps() or [])  # evicted from rotation
+
+    other = create_train_state(model, CFG, TCFG, jax.random.key(9))
+    restored = mgr.restore_best(other)
+    assert int(restored.step) == 10
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(best_state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mark_best_points_at_saved_step(tmp_path):
     model = PWCLONet(CFG)
     state = create_train_state(model, CFG, TCFG, jax.random.key(0))

@@ -62,6 +62,37 @@ def test_export_roundtrip_matches_direct(tiny_setup, tmp_path):
     )
 
 
+def test_infer_fn_crops_like_streaming(tiny_setup):
+    """The exported path must apply the same validity-mask + planar crop as
+    the streaming/training paths: far points beyond max_planar_radius must
+    not change the output (no train/serve skew)."""
+    cfg, model, variables, pc1, pc2 = tiny_setup
+
+    # base scans: last 32 slots zeroed (padding); spiked scans: the same
+    # slots hold out-of-crop points (beyond the planar radius, inside the
+    # vertical FOV and the packed method's range clip)
+    def base_and_spiked(pc, rng):
+        base = pc.copy()
+        base[0, -32:] = 0.0
+        far = rng.uniform(
+            cfg.sensor.max_planar_radius * 1.5,
+            cfg.sensor.max_planar_radius * 2.0, size=(32, 3),
+        ).astype(np.float32)
+        far[:, 2] = rng.uniform(-1.0, 1.0, size=32)
+        spiked = base.copy()
+        spiked[0, -32:] = far
+        return base, spiked
+
+    rng = np.random.default_rng(7)
+    b1, s1 = base_and_spiked(pc1, rng)
+    b2, s2 = base_and_spiked(pc2, rng)
+    infer = jax.jit(make_infer_fn(model, cfg, variables))
+    q0, t0 = infer(b1, b2)
+    q1, t1 = infer(s1, s2)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q0), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t0), atol=1e-6)
+
+
 def test_export_multiplatform_lists_targets(tiny_setup):
     cfg, model, variables, _, _ = tiny_setup
     blob = export_odometry(model, cfg, variables, batch_size=1,

@@ -85,6 +85,10 @@ def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
         f.write("Tr: " + " ".join(f"{v:.12e}" for v in TR.reshape(-1)) + "\n")
 
     cam_poses = np.einsum("ij,njk,kl->nil", TR4, traj, np.linalg.inv(TR4))
+    # gauge-normalize to start at identity like real KITTI ground truth —
+    # estimated trajectories integrate from identity, and the unaligned ATE
+    # would otherwise carry the constant world offset of pose 0
+    cam_poses = np.einsum("ij,njk->nik", np.linalg.inv(cam_poses[0]), cam_poses)
     rows = cam_poses[:, :3, :].reshape(n, 12)
     np.savetxt(os.path.join(gt_dir, f"{name}.txt"), rows)
     diffs = np.stack(
@@ -230,7 +234,10 @@ def stage_slam(args, trainer=None):
         q, t = stream.push(scan)
         img = np.asarray(stream._prev)[0]  # this frame's (H, W, 3) projection
         if i == 0:
-            slam.add_frame(np.array([1.0, 0, 0, 0]), np.zeros(3), payload=img)
+            # frame 0 IS keyframe 0 — attach its payload without advancing
+            # the frame counter (a dummy add_frame would shift kf_frame_ids
+            # one past the raw_poses indexing)
+            slam.set_initial_payload(img)
             continue
         # the network's (q, t) is the relative transform of frame i w.r.t.
         # i-1 in the accumulation convention of integrate_sequence and
