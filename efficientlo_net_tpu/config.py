@@ -213,6 +213,10 @@ class TrainConfig:
     w_x_init: float = 0.0
     w_q_init: float = -2.5
 
+    # int16 point transfer (data/loader.py quantize_points): halves the
+    # host->device bytes at 1.25 mm quantization — far below sensor noise.
+    quantized_transfer: bool = False
+
     def learning_rate(self, step: int):
         """Staircase exponential decay on samples seen (main.py:120-128)."""
         import jax.numpy as jnp

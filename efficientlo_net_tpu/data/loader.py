@@ -18,6 +18,21 @@ from .augmentation import augmentation_batch
 from .kitti import OdometryDataset
 
 
+POINT_QUANT_SCALE = 800.0  # int16 point transfer: 1.25 mm, range ±40.9 m
+
+
+def quantize_points(x: np.ndarray) -> np.ndarray:
+    """Host-side int16 quantization of point coordinates for the
+    host->device transfer (opt-in, TrainConfig.quantized_transfer).
+
+    Halves transfer bytes over the host link; 1.25 mm round-trip error is
+    an order of magnitude below HDL-64 range noise.  The device side
+    dequantizes in ``training.step._forward_inputs``."""
+    return np.clip(
+        np.rint(x * POINT_QUANT_SCALE), -32767, 32767
+    ).astype(np.int16)
+
+
 def make_batch(dataset: OdometryDataset, indices: Sequence[int], rng, training: bool):
     pc1, pc2, T_gt = [], [], []
     for i in indices:

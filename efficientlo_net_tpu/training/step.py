@@ -21,6 +21,17 @@ from .state import TrainState, bn_momentum_schedule, make_optimizer
 
 def _forward_inputs(batch, sensor):
     """preprocess + project both frames (training and eval share this)."""
+    import jax.numpy as jnp
+
+    from ..data.loader import POINT_QUANT_SCALE
+
+    pc1, pc2 = batch["pc1"], batch["pc2"]
+    if jnp.issubdtype(pc1.dtype, jnp.integer):
+        # int16 quantized transfer (TrainConfig.quantized_transfer)
+        inv = jnp.float32(1.0 / POINT_QUANT_SCALE)
+        pc1 = pc1.astype(jnp.float32) * inv
+        pc2 = pc2.astype(jnp.float32) * inv
+    batch = dict(batch, pc1=pc1, pc2=pc2)
     pc1, pc2, q_gt, t_gt = preprocess(
         batch["pc1"], batch["pc2"], batch["T_gt"],
         batch["T_trans"], batch["T_trans_inv"], batch["aug_frame"],

@@ -116,6 +116,14 @@ class Trainer:
         )
 
     def _device_batch(self, batch):
+        if self.train_cfg.quantized_transfer:
+            from ..data.loader import quantize_points
+
+            batch = dict(
+                batch,
+                pc1=quantize_points(batch["pc1"]),
+                pc2=quantize_points(batch["pc2"]),
+            )
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
             batch = shard_batch(self.mesh, batch)

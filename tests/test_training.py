@@ -48,6 +48,36 @@ def test_single_device_train_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_quantized_transfer_matches_float():
+    """int16 point transfer (1.25 mm) must give the same loss to within the
+    quantization noise floor and step identically in structure."""
+    from efficientlo_net_tpu.data.loader import quantize_points
+
+    model = PWCLONet(CFG)
+    step = jax.jit(make_train_step(model, CFG, TCFG))
+
+    rng = np.random.default_rng(2)
+    host = synthetic_batch(rng, 2, CFG.sensor, training=True)
+    batch_f = {k: jnp.asarray(v) for k, v in host.items()}
+    batch_q = dict(
+        host, pc1=quantize_points(host["pc1"]), pc2=quantize_points(host["pc2"])
+    )
+    # round-trip error bound: half an LSB
+    np.testing.assert_allclose(
+        np.asarray(batch_q["pc1"], np.float32) / 800.0, host["pc1"], atol=6.5e-4
+    )
+    batch_q = {k: jnp.asarray(v) for k, v in batch_q.items()}
+    assert batch_q["pc1"].dtype == jnp.int16
+
+    s_f, m_f = step(create_train_state(model, CFG, TCFG, jax.random.key(0)),
+                    batch_f, jax.random.key(5))
+    s_q, m_q = step(create_train_state(model, CFG, TCFG, jax.random.key(0)),
+                    batch_q, jax.random.key(5))
+    lf, lq = float(m_f["loss"]), float(m_q["loss"])
+    assert np.isfinite(lq)
+    assert abs(lf - lq) < 0.05 * max(1.0, abs(lf))
+
+
 def test_data_parallel_matches_single_device():
     model = PWCLONet(CFG)
     mesh = make_mesh(jax.devices()[:4])
