@@ -54,6 +54,30 @@ def read_calib_file(path: str) -> dict:
     return entries
 
 
+def t_diff_from_poses(pose_path: str) -> np.ndarray:
+    """Derive per-pair relative transforms from devkit absolute poses.
+
+    ``XX.txt`` holds the devkit's absolute camera-frame poses P_i as 3x4
+    rows. The reference's precomputed ``kitti_T_diff/XX_diff.npy`` arrays
+    follow ``T_diff[i] = P_{i-1}^-1 @ P_i`` with ``T_diff[0] = I`` (verified
+    bit-exact against the shipped seq-04 asset); reproduce that so a stock
+    KITTI download works without the reference-repo precomputation.
+    """
+    rows = np.loadtxt(pose_path, dtype=np.float64).reshape(-1, 12)
+    mats = np.concatenate(
+        [
+            rows.reshape(-1, 3, 4),
+            np.broadcast_to(
+                np.array([0.0, 0.0, 0.0, 1.0]), (rows.shape[0], 1, 4)
+            ),
+        ],
+        axis=1,
+    )
+    rel = np.linalg.solve(mats[:-1], mats[1:])  # P_{i-1}^-1 @ P_i
+    rel = np.concatenate([np.eye(4)[None], rel], axis=0)
+    return rel[:, :3, :].reshape(-1, 12)
+
+
 @lru_cache(maxsize=32)
 def load_tr(calib_path: str) -> Tuple[np.ndarray, np.ndarray]:
     tr = read_calib_file(calib_path)["Tr"].reshape(3, 4)
@@ -97,7 +121,15 @@ class OdometryDataset:
             path = os.path.join(
                 self.gt_pose_dir, "kitti_T_diff", f"{SEQ_NAMES[seq]}_diff.npy"
             )
-            self._t_diff_cache[seq] = np.load(path)
+            if os.path.exists(path):
+                self._t_diff_cache[seq] = np.load(path)
+            else:
+                # the kitti_T_diff arrays are a reference-repo precomputation;
+                # a stock KITTI download only has the devkit's absolute camera
+                # poses -- derive the per-pair relatives on the fly
+                self._t_diff_cache[seq] = t_diff_from_poses(
+                    os.path.join(self.gt_pose_dir, f"{SEQ_NAMES[seq]}.txt")
+                )
         return self._t_diff_cache[seq]
 
     def read_scan(self, seq: int, frame: int) -> np.ndarray:

@@ -91,6 +91,31 @@ def test_dataset_first_pair_is_self(fake_kitti):
     np.testing.assert_array_equal(pc_t, pc_tm1)
 
 
+def test_t_diff_derived_from_devkit_poses(fake_kitti, tmp_path):
+    """A stock KITTI download has only XX.txt (devkit absolute poses), not
+    the reference repo's precomputed kitti_T_diff arrays; the dataset must
+    derive identical per-pair relatives on the fly."""
+    import shutil
+
+    from efficientlo_net_tpu.data.kitti import t_diff_from_poses
+
+    root, gt_dir = fake_kitti
+    precomputed = np.load(os.path.join(gt_dir, "kitti_T_diff", "04_diff.npy"))
+    derived = t_diff_from_poses(os.path.join(gt_dir, "04.txt"))
+    np.testing.assert_allclose(derived, precomputed, atol=1e-9)
+
+    # dataset-level: gt dir without kitti_T_diff yields the same T_gt
+    bare_gt = tmp_path / "ground_truth_pose"
+    bare_gt.mkdir()
+    shutil.copy(os.path.join(gt_dir, "04.txt"), bare_gt / "04.txt")
+    ds_pre = OdometryDataset(root, num_points=CFG.sensor.num_points, gt_pose_dir=gt_dir)
+    ds_bare = OdometryDataset(
+        root, num_points=CFG.sensor.num_points, gt_pose_dir=str(bare_gt)
+    )
+    idx = SEQ_LENGTH_TABLE[SEQ] + 7
+    np.testing.assert_allclose(ds_bare[idx][2], ds_pre[idx][2], atol=1e-6)
+
+
 def test_train_steps_and_eval_pipeline(fake_kitti, tmp_path):
     root, gt_dir = fake_kitti
     tcfg = TrainConfig(batch_size=2)
