@@ -73,15 +73,10 @@ def _free_port() -> int:
     return port
 
 
-def test_two_process_checkpointing(tmp_path):
-    child = tmp_path / "child.py"
-    child.write_text(CHILD)
-    ckpt_dir = str(tmp_path / "ckpt")
-    port = str(_free_port())
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-
+def _run_children(child, ckpt_dir, repo):
     env = dict(os.environ)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    port = str(_free_port())
     procs = [
         subprocess.Popen(
             [sys.executable, str(child), str(i), port, ckpt_dir],
@@ -90,11 +85,29 @@ def test_two_process_checkpointing(tmp_path):
         )
         for i in range(2)
     ]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
+    return [p.communicate(timeout=600)[0] for p in procs]
+
+
+def test_two_process_checkpointing(tmp_path):
+    child = tmp_path / "child.py"
+    child.write_text(CHILD)
+    ckpt_dir = str(tmp_path / "ckpt")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    outs = _run_children(child, ckpt_dir, repo)
+    if not all(f"CHILD {i} OK" in out for i, out in enumerate(outs)) and any(
+        "BarrierError" in out or "CoordinationServiceError" in out
+        for out in outs
+    ):
+        # coordination barriers carry fixed wall-clock timeouts; on this
+        # 4-CPU host a pytest-xdist + compile storm can starve one child past
+        # them.  That is environment contention, not a checkpointing bug —
+        # retry once on a quieter machine state before judging.
+        import shutil
+
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        outs = _run_children(child, ckpt_dir, repo)
+    for i, out in enumerate(outs):
         # the test body must have completed; a post-OK coordination-service
         # shutdown-barrier timeout (heavy CPU contention under pytest-xdist)
         # is teardown noise, not a failure of the checkpointing under test
