@@ -47,8 +47,33 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.c_int32,
             ]
+            lib.elo_project_scan.restype = None
+            lib.elo_project_scan.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_int32,
+            ]
+            lib.elo_project_batch.restype = None
+            lib.elo_project_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_int32,
+            ]
             lib.elo_abi_version.restype = ctypes.c_int32
-            if lib.elo_abi_version() == 1:
+            if lib.elo_abi_version() == 2:
                 _lib = lib
                 return _lib
     return None
@@ -91,6 +116,91 @@ def read_batch(paths: List[str], num_points: int, num_threads: int = 8) -> np.nd
         bad = [paths[i] for i in range(b) if counts[i] < 0]
         raise FileNotFoundError(f"failed to read scans: {bad}")
     return out
+
+
+def project_batch(
+    points: np.ndarray,
+    height: int,
+    width: int,
+    sensor,
+    crop_radius: float = 0.0,
+    num_threads: int = 8,
+) -> np.ndarray:
+    """Host-side cylindrical projection: (B, N, 3) -> (B, H, W, 3) float32.
+
+    Exact min-range semantics of ``ops.projection.project_to_range_image``
+    (method="sort"/"scatter"), computed on the CPU — the on-device scatter
+    sits at the TPU's scatter-serialization floor (docs/projection_perf.md),
+    so serving paths can project here and ship the dense image instead.
+    ``crop_radius > 0`` additionally applies the network's planar crop.
+    Falls back to a vectorized numpy implementation without the library.
+    """
+    import math
+
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    b, n = points.shape[0], points.shape[1]
+    up = math.radians(sensor.vertical_fov_up_deg)
+    down = math.radians(sensor.vertical_fov_down_deg)
+    lib = _load()
+    if lib is None:
+        return np.stack([
+            _project_scan_numpy(points[i], height, width, up, down, crop_radius)
+            for i in range(b)
+        ])
+    out = np.zeros((b, height, width, 3), dtype=np.float32)
+    lib.elo_project_batch(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), b, n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        height, width, up, down, crop_radius, num_threads,
+    )
+    return out
+
+
+def project_scan(
+    points: np.ndarray, height: int, width: int, sensor,
+    crop_radius: float = 0.0, num_threads: int = 4,
+) -> np.ndarray:
+    """Single-scan host projection: (N, 3) -> (H, W, 3) float32.
+
+    Chunk-parallel over ``num_threads`` (per-thread private planes merged
+    with index-ordered tie preference — result identical to sequential)."""
+    return project_batch(
+        points[None], height, width, sensor, crop_radius, num_threads
+    )[0]
+
+
+def _project_scan_numpy(points, height, width, up, down, crop_radius):
+    """Numpy fallback mirroring elo_project_scan (lexsort formulation)."""
+    az_res = 2.0 * np.pi / width
+    v_res = (up - down) / max(height - 1, 1)
+    v_off = -down / v_res
+
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    r_sq = x * x + y * y + z * z
+    valid = r_sq > 1e-10
+    if crop_radius > 0.0:
+        valid &= x * x + y * y <= np.float32(crop_radius) ** 2
+    r = np.sqrt(np.where(valid, r_sq, 1.0), dtype=np.float32)
+
+    col = ((np.float32(np.pi) - np.arctan2(y, x)) / np.float32(az_res)).astype(np.int32)
+    beta = np.arcsin(np.clip(z / r, -1.0, 1.0))
+    row = height - (beta / np.float32(v_res) + np.float32(v_off)).astype(np.int32)
+    row = np.clip(row, 0, height - 1)
+    col = np.clip(col, 0, width - 1)
+
+    num_pix = height * width
+    pix = np.where(valid, row * width + col, num_pix)
+    order = np.lexsort((np.arange(len(points)), r, pix))
+    pix_s = pix[order]
+    first = np.ones(len(points), dtype=bool)
+    first[1:] = pix_s[1:] != pix_s[:-1]
+    win_pix = pix_s[first]
+    win_idx = order[first]
+    keep = win_pix < num_pix
+
+    img = np.zeros((num_pix, 3), dtype=np.float32)
+    img[win_pix[keep]] = points[win_idx[keep]]
+    return img.reshape(height, width, 3)
 
 
 def _read_scan_numpy(path: str, num_points: int) -> np.ndarray:

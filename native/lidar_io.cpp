@@ -12,10 +12,13 @@
 //
 // Build: make -C native
 
+#include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <thread>
 #include <vector>
 
@@ -79,7 +82,176 @@ int32_t elo_read_batch(const char** paths, int64_t batch_size, float* out,
   return failed.load() ? -1 : 0;
 }
 
+// Cylindrical range-image projection on the host.
+//
+// Exact semantics of ops/projection.py pixel_coords + min-range collision
+// resolution (lowest point index wins exact range ties; invalid x=y=z=0
+// points never scatter; empty pixels stay (0,0,0)), replicating the behavior
+// of reference model_util.py:181-292 without its batch Python loop.  All
+// arithmetic is float32 with truncation-toward-zero pixel casts, matching
+// the device formulation bit-for-bit except for libm ulp differences in
+// atan2/asin at pixel boundaries.
+//
+// Rationale: TPU has no vector-scatter hardware, so the on-device projection
+// serializes at ~13 cycles/point (docs/projection_perf.md) — the single
+// largest non-matmul op of the pipeline.  On the host it is a trivial
+// streaming pass; serving paths can project here and feed the device the
+// dense image, freeing the TensorCore entirely.
+//
+namespace {
+
+// One sequential pass over points [begin, end), updating img/best_r in
+// place.  best_r starts at +inf; strict < keeps the first (lowest-index)
+// point on exact range ties, matching ops/projection.py.
+void project_range(const float* points, int64_t begin, int64_t end,
+                   float* img, float* best_r, int32_t height, int32_t width,
+                   float vfov_up_rad, float vfov_down_rad,
+                   float crop_radius) {
+  const float kPi = 3.14159265358979323846f;
+  const float az_res = 2.0f * kPi / static_cast<float>(width);
+  const float v_res =
+      (vfov_up_rad - vfov_down_rad) /
+      static_cast<float>(height > 1 ? height - 1 : 1);
+  const float v_off = -vfov_down_rad / v_res;
+  const float crop_sq =
+      crop_radius > 0.0f ? crop_radius * crop_radius : 0.0f;
+
+  for (int64_t i = begin; i < end; ++i) {
+    const float x = points[i * 3 + 0];
+    const float y = points[i * 3 + 1];
+    const float z = points[i * 3 + 2];
+    const float r_sq = x * x + y * y + z * z;
+    if (r_sq <= 1e-10f) continue;
+    if (crop_sq > 0.0f && x * x + y * y > crop_sq) continue;
+    const float r = std::sqrt(r_sq);
+
+    int32_t col = static_cast<int32_t>((kPi - std::atan2(y, x)) / az_res);
+    float sz = z / r;
+    sz = sz < -1.0f ? -1.0f : (sz > 1.0f ? 1.0f : sz);
+    const float beta = std::asin(sz);
+    int32_t row = height - static_cast<int32_t>(beta / v_res + v_off);
+    row = row < 0 ? 0 : (row >= height ? height - 1 : row);
+    col = col < 0 ? 0 : (col >= width ? width - 1 : col);
+
+    const int64_t pix = static_cast<int64_t>(row) * width + col;
+    if (r < best_r[pix]) {
+      best_r[pix] = r;
+      img[pix * 3 + 0] = x;
+      img[pix * 3 + 1] = y;
+      img[pix * 3 + 2] = z;
+    }
+  }
+}
+
+}  // namespace
+
+// points: [n, 3] float32.  img: [height*width*3] float32 (overwritten).
+// crop_radius <= 0 disables the planar crop; otherwise points with
+// sqrt(x^2+y^2) > crop_radius are dropped (the network's 35 m crop,
+// models/preprocess.py).
+//
+// num_threads > 1 splits the point stream into index-ordered chunks with
+// per-thread private planes, then merges pixel stripes in parallel; the
+// merge prefers lower chunk index on exact range ties, so the result is
+// identical to the sequential pass.
+void elo_project_scan(const float* points, int64_t n, float* img,
+                      int32_t height, int32_t width, float vfov_up_rad,
+                      float vfov_down_rad, float crop_radius,
+                      int32_t num_threads) {
+  const int64_t num_pix = static_cast<int64_t>(height) * width;
+  std::memset(img, 0, sizeof(float) * num_pix * 3);
+
+  if (num_threads <= 1 || n < (1 << 14)) {
+    std::vector<float> best_r(num_pix,
+                              std::numeric_limits<float>::infinity());
+    project_range(points, 0, n, img, best_r.data(), height, width,
+                  vfov_up_rad, vfov_down_rad, crop_radius);
+    return;
+  }
+
+  const int32_t nt = static_cast<int32_t>(
+      std::min<int64_t>(num_threads, (n + (1 << 14) - 1) >> 14));
+  std::vector<std::vector<float>> imgs(nt),
+      bests(nt, std::vector<float>(
+                    num_pix, std::numeric_limits<float>::infinity()));
+  std::vector<std::thread> threads;
+  threads.reserve(nt);
+  const int64_t chunk = (n + nt - 1) / nt;
+  for (int32_t t = 0; t < nt; ++t) {
+    imgs[t].assign(num_pix * 3, 0.0f);
+    threads.emplace_back([&, t]() {
+      const int64_t b = t * chunk, e = std::min<int64_t>(n, b + chunk);
+      project_range(points, b, e, imgs[t].data(), bests[t].data(), height,
+                    width, vfov_up_rad, vfov_down_rad, crop_radius);
+    });
+  }
+  for (auto& t : threads) t.join();
+
+  threads.clear();
+  const int64_t stripe = (num_pix + nt - 1) / nt;
+  for (int32_t t = 0; t < nt; ++t) {
+    threads.emplace_back([&, t]() {
+      const int64_t b = t * stripe,
+                    e = std::min<int64_t>(num_pix, b + stripe);
+      for (int64_t p = b; p < e; ++p) {
+        float best = std::numeric_limits<float>::infinity();
+        int32_t win = -1;
+        for (int32_t c = 0; c < nt; ++c) {
+          if (bests[c][p] < best) {  // lower chunk keeps exact ties
+            best = bests[c][p];
+            win = c;
+          }
+        }
+        if (win >= 0) {
+          img[p * 3 + 0] = imgs[win][p * 3 + 0];
+          img[p * 3 + 1] = imgs[win][p * 3 + 1];
+          img[p * 3 + 2] = imgs[win][p * 3 + 2];
+        }
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+}
+
+// Batch variant: points [batch, n, 3] -> img [batch, height, width, 3].
+// Large batches parallelize one thread per scan; small batches (fewer scans
+// than threads) give each scan the chunk-parallel path instead.
+void elo_project_batch(const float* points, int64_t batch_size, int64_t n,
+                       float* img, int32_t height, int32_t width,
+                       float vfov_up_rad, float vfov_down_rad,
+                       float crop_radius, int32_t num_threads) {
+  if (num_threads <= 0) num_threads = 4;
+  const int64_t pix3 = static_cast<int64_t>(height) * width * 3;
+
+  if (batch_size < num_threads) {
+    const int32_t per_scan =
+        static_cast<int32_t>(num_threads / batch_size);
+    for (int64_t i = 0; i < batch_size; ++i) {
+      elo_project_scan(points + i * n * 3, n, img + i * pix3, height, width,
+                       vfov_up_rad, vfov_down_rad, crop_radius, per_scan);
+    }
+    return;
+  }
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= batch_size) return;
+      elo_project_scan(points + i * n * 3, n, img + i * pix3, height, width,
+                       vfov_up_rad, vfov_down_rad, crop_radius, 1);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  int32_t nt =
+      static_cast<int32_t>(std::min<int64_t>(num_threads, batch_size));
+  threads.reserve(nt);
+  for (int32_t t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
 // Library self-identification for load-time sanity checks.
-int32_t elo_abi_version() { return 1; }
+int32_t elo_abi_version() { return 2; }
 
 }  // extern "C"
