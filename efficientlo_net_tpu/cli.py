@@ -120,6 +120,7 @@ def main(argv=None) -> None:
             result_dir=args.result_dir,
             batch_size=args.batch_size,
             log=trainer.logger.log,
+            stream_fns=trainer.stream_eval_fns,
         )
 
 

@@ -65,6 +65,70 @@ def predict_sequence(
     return q, t
 
 
+def predict_sequence_streaming(
+    encode_step,
+    correlate_step,
+    params,
+    batch_stats,
+    dataset: OdometryDataset,
+    seq: int,
+    batch_size: int = 8,
+    num_workers: int = 4,
+) -> tuple:
+    """Pyramid-cached sequence prediction: each scan is read, projected and
+    encoded ONCE; consecutive pyramids are correlated in shifted batches.
+
+    Halves the per-frame IO, projection, and tower cost of
+    ``predict_sequence`` with bit-identical outputs (eval towers are
+    deterministic); see training/step.py make_streaming_eval_fns.
+    Frame 0 pairs with itself (reference kitti_dataset.py:45-49)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+    import jax.numpy as jnp
+
+    n = len(sequence_indices(seq))
+    quats, trans = [], []
+    prev_tail = None  # last real frame's pyramid from the previous batch
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool, \
+            ThreadPoolExecutor(max_workers=1) as reader:
+
+        def read_block(s):
+            frames = list(range(s, min(s + batch_size, n)))
+            bsz = len(frames)
+            scans = list(pool.map(lambda f: dataset.read_scan(seq, f), frames))
+            if bsz < batch_size:  # pad to the compiled batch shape
+                scans += [scans[-1]] * (batch_size - bsz)
+            return np.stack(scans), bsz
+
+        # double-buffer: the next block's disk reads overlap the device's
+        # (asynchronously dispatched) encode/correlate of the current block
+        pending = reader.submit(read_block, 0)
+        for s in range(0, n, batch_size):
+            block, bsz = pending.result()
+            if s + batch_size < n:
+                pending = reader.submit(read_block, s + batch_size)
+            pts = jnp.asarray(block)
+
+            pyr = encode_step(params, batch_stats, pts)
+            if prev_tail is None:  # frame 0 pairs with itself
+                prev_tail = jax.tree_util.tree_map(lambda a: a[:1], pyr)
+            # frame s+i pairs with s+i-1: shift the batch by one, splicing
+            # in the previous batch's tail
+            pyr_prev = jax.tree_util.tree_map(
+                lambda tail, cur: jnp.concatenate([tail, cur[:-1]], axis=0),
+                prev_tail, pyr,
+            )
+            out = correlate_step(params, batch_stats, pyr, pyr_prev)
+            quats.append(np.asarray(out["q"])[:bsz])
+            trans.append(np.asarray(out["t"])[:bsz])
+            prev_tail = jax.tree_util.tree_map(
+                lambda a: a[bsz - 1: bsz], pyr
+            )
+    return np.concatenate(quats)[:n], np.concatenate(trans)[:n]
+
+
 def evaluate_sequences(
     eval_step,
     params,
@@ -76,17 +140,29 @@ def evaluate_sequences(
     batch_size: int = 8,
     log=print,
     make_plots: bool = False,
+    stream_fns=None,
 ) -> Dict[int, SequenceResult]:
     """Full eval over multiple sequences; returns per-sequence results and
     (optionally) writes KITTI trajectory txt files + plots (reference
-    kitti_evaluation.py writes path/xyz/rpy/error plots per sequence)."""
+    kitti_evaluation.py writes path/xyz/rpy/error plots per sequence).
+
+    ``stream_fns``: optional (encode_step, correlate_step) from
+    training.step.make_streaming_eval_fns — predicts with pyramid caching
+    (each scan read/projected/encoded once) instead of the pairwise
+    ``eval_step``; identical outputs, about half the cost."""
     results = {}
     for seq in sequences:
         name = SEQ_NAMES[seq]
         tr, _ = load_tr(os.path.join(dataset.root, name, "calib.txt"))
-        q, t = predict_sequence(
-            eval_step, params, batch_stats, dataset, seq, batch_size
-        )
+        if stream_fns is not None:
+            q, t = predict_sequence_streaming(
+                stream_fns[0], stream_fns[1], params, batch_stats,
+                dataset, seq, batch_size,
+            )
+        else:
+            q, t = predict_sequence(
+                eval_step, params, batch_stats, dataset, seq, batch_size
+            )
         rows = integrate_sequence(q, t, tr)
         if result_dir is not None:
             os.makedirs(result_dir, exist_ok=True)

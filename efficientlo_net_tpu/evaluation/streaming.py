@@ -1,14 +1,16 @@
 """Streaming odometry inference: one new scan per step.
 
 In a live odometry system each incoming scan pairs with the *previous* one,
-whose range image is already computed — so the steady-state cost per frame is
-one projection + one forward pass, not two projections.  (The reference's
-graph re-projects both frames every pair, main.py:530 / pwclo_model.py:63-64,
-an artifact of its feed_dict structure.)
+whose range image AND Siamese feature pyramid were already computed when it
+arrived — so the steady-state cost per frame is one projection + ONE feature
+tower + the correlation/refinement stages, not two of each.  (The
+reference's static graph re-projects and re-encodes both frames every pair,
+main.py:530 / pwclo_model.py:63-64,117-165, an artifact of its feed_dict
+structure.)  Eval-mode pyramids are deterministic, so the cached pyramid is
+bit-identical to recomputing it.
 
-``OdometryStream`` keeps the previous frame's projection on device and emits
-the relative pose (q, t) of each new frame w.r.t. the previous one, plus the
-accumulated trajectory if requested.
+``OdometryStream`` keeps the previous frame's pyramid on device and emits
+the relative pose (q, t) of each new frame w.r.t. the previous one.
 """
 
 from __future__ import annotations
@@ -23,7 +25,16 @@ from ..ops.projection import project_to_range_image
 
 
 class OdometryStream:
-    def __init__(self, model, variables, cfg: ModelConfig):
+    """``host_projection=True`` projects each scan on the CPU via the native
+    library (data/native_io.py) and ships the dense range image to the
+    device instead of the raw points — the on-device scatter projection sits
+    at the TPU's scatter-serialization floor (docs/projection_perf.md), so a
+    deployment with spare host cores can hand that work to the host and keep
+    the TensorCore on the network.  Falls back to device projection when the
+    native library is unavailable."""
+
+    def __init__(self, model, variables, cfg: ModelConfig,
+                 host_projection: bool = False):
         import jax
 
         self.cfg = cfg
@@ -48,14 +59,32 @@ class OdometryStream:
             return img
 
         @jax.jit
-        def _step(variables, proj_new, proj_prev):
-            out = model.apply(variables, proj_new, proj_prev, training=False)
+        def _pyramid(variables, proj):
+            return model.apply(
+                variables, proj, False, 0.99, False, method=model._pyramid
+            )
+
+        @jax.jit
+        def _step(variables, pyr_new, pyr_prev):
+            out = model.apply(
+                variables, pyr_new, pyr_prev, training=False,
+                method=model.forward_from_pyramids,
+            )
             return out["q"][0], out["t"][0]
 
         self._project = _project
+        self._pyramid = _pyramid
         self._step = _step
         self._variables = variables
         self._prev = None
+        if host_projection:
+            from ..data import native_io
+
+            self._host_project = (
+                native_io.project_scan if native_io.available() else None
+            )
+        else:
+            self._host_project = None
 
     def reset(self) -> None:
         self._prev = None
@@ -67,8 +96,18 @@ class OdometryStream:
         kitti_dataset.py:45-49)."""
         import jax.numpy as jnp
 
-        proj = self._project(jnp.asarray(points[None]))
-        prev = proj if self._prev is None else self._prev
-        q, t = self._step(self._variables, proj, prev)
-        self._prev = proj
+        if self._host_project is not None:
+            img = self._host_project(
+                np.ascontiguousarray(points, dtype=np.float32),
+                self.cfg.sensor.height, self.cfg.sensor.width,
+                self.cfg.sensor,
+                crop_radius=self.cfg.sensor.max_planar_radius,
+            )
+            proj = jnp.asarray(img[None])
+        else:
+            proj = self._project(jnp.asarray(points[None]))
+        pyr = self._pyramid(self._variables, proj)
+        prev = pyr if self._prev is None else self._prev
+        q, t = self._step(self._variables, pyr, prev)
+        self._prev = pyr
         return np.asarray(q[0]), np.asarray(t[0])

@@ -215,14 +215,34 @@ class PWCLONet(nn.Module):
         stochastic: bool = False,
         ring_mesh=None,
     ) -> Dict[str, Any]:
-        cfg = self.cfg
-        shapes = cfg.level_shapes
-        b = proj_f1.shape[0]
-
         f1 = self._pyramid(proj_f1, training, bn_momentum, stochastic,
                            ring_mesh=ring_mesh)
         f2 = self._pyramid(proj_f2, training, bn_momentum, stochastic,
                            ring_mesh=ring_mesh)
+        return self.forward_from_pyramids(
+            f1, f2, training, bn_momentum, stochastic
+        )
+
+    def forward_from_pyramids(
+        self,
+        f1,
+        f2,
+        training: bool = False,
+        bn_momentum=0.99,
+        stochastic: bool = False,
+    ) -> Dict[str, Any]:
+        """Correlation + warp-refinement on precomputed feature pyramids.
+
+        Streaming deployments cache each frame's pyramid when it arrives and
+        pair it with the next frame's (evaluation/streaming.py), so the
+        steady-state cost is ONE tower per scan instead of the two the
+        reference's static graph recomputes every pair (pwclo_model.py:117-165
+        rebuilds both Siamese towers per feed).  Eval-mode pyramids are
+        deterministic, so cached == recomputed exactly."""
+        cfg = self.cfg
+        shapes = cfg.level_shapes
+        b = f1[0][0].shape[0]
+
         (l0_xyz1, l0_feat1, l0_fp1) = f1[0]
         (l1_xyz1, l1_feat1, l1_fp1) = f1[1]
         (l2_xyz1, l2_feat1, l2_fp1) = f1[2]

@@ -83,6 +83,55 @@ def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig):
     return train_step
 
 
+def make_streaming_eval_fns(model, model_cfg: ModelConfig):
+    """(encode_step, correlate_step) for pyramid-cached sequence evaluation.
+
+    Over a sequence, every frame appears in two consecutive pairs; the
+    pairwise eval_step therefore projects and encodes each scan twice.  With
+    identity augmentation the eval preprocessing reduces to the validity
+    mask + 35 m crop, which is frame-local — so each frame's projection and
+    Siamese tower can be computed ONCE (`encode_step`) and the pairs
+    correlated from cached pyramids (`correlate_step`), exactly like the
+    live-odometry stream (evaluation/streaming.py).  Eval-mode towers are
+    deterministic: results match make_eval_step bit-for-bit."""
+    import jax.numpy as jnp
+
+    sensor = model_cfg.sensor
+    h, w = sensor.height, sensor.width
+
+    @jax.jit
+    def encode_step(params, batch_stats, points):
+        if jnp.issubdtype(points.dtype, jnp.integer):
+            from ..data.loader import POINT_QUANT_SCALE
+
+            points = points.astype(jnp.float32) * jnp.float32(
+                1.0 / POINT_QUANT_SCALE
+            )
+        keep = jnp.any(points != 0.0, axis=-1) & (
+            jnp.linalg.norm(points[..., :2], axis=-1)
+            <= sensor.max_planar_radius
+        )
+        cropped = points * keep[..., None]
+        proj, _ = project_to_range_image(
+            cropped, None, h, w, sensor, method="packed"
+        )
+        return model.apply(
+            {"params": params["model"], "batch_stats": batch_stats},
+            proj, False, 0.99, False, method=model._pyramid,
+        )
+
+    @jax.jit
+    def correlate_step(params, batch_stats, pyr_new, pyr_prev):
+        out = model.apply(
+            {"params": params["model"], "batch_stats": batch_stats},
+            pyr_new, pyr_prev, training=False,
+            method=model.forward_from_pyramids,
+        )
+        return {"q": out["q"][0], "t": out["t"][0]}
+
+    return encode_step, correlate_step
+
+
 def make_eval_step(model, model_cfg: ModelConfig):
     """Returns the finest-level (l0) pose prediction — what the odometry
     integrator consumes (reference main.py:530: ops['pred_q']=l0_q)."""

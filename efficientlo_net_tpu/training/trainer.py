@@ -26,7 +26,11 @@ from ..parallel.data_parallel import make_sharded_train_step, replicate_state
 from ..parallel.mesh import make_mesh, shard_batch
 from ..training.checkpoint import CheckpointManager
 from ..training.state import create_train_state
-from ..training.step import make_eval_step, make_train_step
+from ..training.step import (
+    make_eval_step,
+    make_streaming_eval_fns,
+    make_train_step,
+)
 from ..utils.logging import Logger
 
 
@@ -87,6 +91,7 @@ class Trainer:
                 donate_argnums=(0,),
             )
         self.eval_step = make_eval_step(self.model, model_cfg)
+        self.stream_eval_fns = make_streaming_eval_fns(self.model, model_cfg)
 
     def _snapshot_config(self, model_cfg, train_cfg) -> None:
         """Reproducibility snapshot into the log dir — the reference copies
@@ -188,6 +193,7 @@ class Trainer:
             self.eval_step, params, stats, self.dataset, local_seqs,
             gt_dir=self.gt_dir, result_dir=os.path.join(self.log_dir, "val"),
             batch_size=self.train_cfg.batch_size, log=self.logger.log,
+            stream_fns=self.stream_eval_fns,
         )
         if jax.process_count() > 1:
             return aggregate_mean_t_rel(results)

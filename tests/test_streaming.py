@@ -53,3 +53,39 @@ def test_stream_matches_pairwise_forward():
     q, t = stream.push(scans[2])
     out_self = model.apply(variables, projs[2], projs[2], training=False)
     np.testing.assert_allclose(q, np.asarray(out_self["q"][0])[0], atol=1e-5)
+
+
+def test_stream_host_projection_matches_device():
+    """Host-projected stream must produce the same poses as the device
+    projection (both exact-min-range; tolerance covers the packed method's
+    7.3 mm quantization and libm boundary ulps)."""
+    import subprocess
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    subprocess.run(["make", "-C", _os.path.join(root, "native")], check=True,
+                   capture_output=True)
+    from efficientlo_net_tpu.data import native_io
+
+    native_io._lib = None
+    assert native_io.available()
+
+    rng = np.random.default_rng(1)
+    model = PWCLONet(CFG)
+    scans = [synthetic_scan(rng, CFG.sensor.num_points) for _ in range(3)]
+    h, w = CFG.sensor.height, CFG.sensor.width
+    p0, _ = project_to_range_image(jnp.asarray(scans[0][None]), None, h, w, CFG.sensor)
+    variables = model.init(
+        {"params": jax.random.key(0), "neighbor": jax.random.key(1),
+         "dropout": jax.random.key(2)},
+        p0, p0, training=False,
+    )
+
+    dev = OdometryStream(model, variables, CFG)
+    host = OdometryStream(model, variables, CFG, host_projection=True)
+    assert host._host_project is not None
+    for s in scans:
+        q_d, t_d = dev.push(s)
+        q_h, t_h = host.push(s)
+        np.testing.assert_allclose(q_h, q_d, atol=5e-3)
+        np.testing.assert_allclose(t_h, t_d, atol=5e-2)

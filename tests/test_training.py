@@ -139,3 +139,29 @@ def test_eval_step_outputs():
     assert out["q"].shape == (2, 4)
     assert out["t"].shape == (2, 3)
     assert np.all(np.isfinite(np.asarray(out["q"])))
+
+
+def test_streaming_eval_fns_match_pairwise_eval_step():
+    """Pyramid-cached eval (encode once, correlate cached pyramids) must
+    reproduce the pairwise eval_step exactly — eval towers are
+    deterministic."""
+    from efficientlo_net_tpu.training.step import make_streaming_eval_fns
+
+    model = PWCLONet(CFG)
+    state = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    eval_step = make_eval_step(model, CFG)
+    encode, correlate = make_streaming_eval_fns(model, CFG)
+
+    rng = np.random.default_rng(3)
+    batch = synthetic_batch(rng, 2, CFG.sensor, training=False)
+    jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    ref = eval_step(state.params, state.batch_stats, jbatch)
+    pyr1 = encode(state.params, state.batch_stats, jbatch["pc1"])
+    pyr2 = encode(state.params, state.batch_stats, jbatch["pc2"])
+    out = correlate(state.params, state.batch_stats, pyr1, pyr2)
+
+    np.testing.assert_allclose(np.asarray(out["q"]), np.asarray(ref["q"]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["t"]), np.asarray(ref["t"]),
+                               atol=1e-6)

@@ -127,6 +127,48 @@ def bench_stages():
         print(f"correlation+refinement (derived): {rem:.3f} ms/frame")
 
 
+def bench_latency():
+    """Single-scan (B=1) streaming latency: one projection + one forward.
+
+    Live odometry runs at sensor rate with batch 1 — throughput at B=8 does
+    not answer "can it keep up with a 10 Hz HDL-64"; this device-time number
+    does (host-side transport excluded: the remote tunnel here adds ~24 ms
+    that real deployments don't pay).
+    """
+    import jax.numpy as jnp
+
+    from efficientlo_net_tpu.ops.projection import project_to_range_image
+
+    cfg, model, variables, pc1, pc2, p1, p2 = _model_setup()
+    h, w = cfg.sensor.height, cfg.sensor.width
+
+    import jax
+
+    prev_pyr = jax.jit(
+        lambda v, p: model.apply(v, p, False, 0.99, False,
+                                 method=model._pyramid)
+    )(variables, p2[:1])
+
+    def stream_step(eps, pts, prev):
+        proj, _ = project_to_range_image(
+            pts + eps, None, h, w, cfg.sensor, method="packed"
+        )
+        pyr = model.apply(
+            variables, proj, False, 0.99, False, method=model._pyramid
+        )
+        out = model.apply(
+            variables, pyr, prev, training=False,
+            method=model.forward_from_pyramids,
+        )
+        return out["q"][0]
+
+    dt = chain_timer(stream_step, (pc1[:1], prev_pyr))
+    RESULTS["stream_latency_ms_b1"] = round(1e3 * dt, 3)
+    hz = 1.0 / dt
+    print(f"streaming step B=1 (project + one tower + correlate): "
+          f"{1e3 * dt:.2f} ms ({hz:.0f} Hz; HDL-64 spins at 10 Hz)")
+
+
 def bench_train():
     import jax
 
@@ -171,6 +213,8 @@ if __name__ == "__main__":
         bench_model()
     if what in ("stages", "all"):
         bench_stages()
+    if what in ("latency", "all"):
+        bench_latency()
     if what in ("train", "all"):
         bench_train()
     if "--json" in sys.argv:
