@@ -95,11 +95,9 @@ def main(argv=None) -> None:
     )
 
     if args.checkpoint_path:
-        from .training.checkpoint import CheckpointManager
-
-        mgr = CheckpointManager(os.path.abspath(args.checkpoint_path))
-        trainer.state = mgr.restore(trainer.state)
-        trainer.logger.log(f"restored from {args.checkpoint_path}")
+        # restores state AND epoch metadata, so warm-started training
+        # resumes at the right epoch instead of epoch 0
+        trainer.restore(path=args.checkpoint_path)
 
     if args.mode == "train":
         trainer.fit()

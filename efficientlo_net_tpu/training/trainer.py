@@ -109,9 +109,16 @@ class Trainer:
                 f, indent=2, default=str,
             )
 
-    def restore(self, step: Optional[int] = None) -> None:
-        self.state = self.ckpt.restore(self.state, step)
-        meta = self.ckpt.metadata(step)
+    def restore(self, step: Optional[int] = None,
+                path: Optional[str] = None) -> None:
+        """Restore state + epoch metadata; ``path`` overrides the trainer's
+        own checkpoint dir (warm start from another run, reference
+        main.py:194-197)."""
+        mgr = self.ckpt if path is None else CheckpointManager(
+            os.path.abspath(path)
+        )
+        self.state = mgr.restore(self.state, step)
+        meta = mgr.metadata(step)
         saved_epoch = meta.get("epoch")
         if saved_epoch is not None:
             self.start_epoch = int(saved_epoch) + 1

@@ -147,3 +147,23 @@ def test_train_indices_for():
     assert len(idxs) == SEQ_LENGTH_TABLE[1] + N_FRAMES
     assert idxs[0] == 0
     assert idxs[-1] == SEQ_LENGTH_TABLE[5] - 1
+
+
+def test_warm_start_restore_from_other_run(fake_kitti, tmp_path):
+    """CLI --checkpoint_path semantics: restoring another run's checkpoint
+    dir must carry both the state and the epoch metadata (resume at the
+    right epoch, not epoch 0)."""
+    root, gt_dir = fake_kitti
+    t1 = Trainer(CFG, TrainConfig(batch_size=2), data_root=root,
+                 log_dir=str(tmp_path / "run1"), gt_dir=gt_dir,
+                 train_list=[SEQ], val_list=[SEQ], use_mesh=False)
+    t1.ckpt.save(t1.state, epoch=3)
+
+    t2 = Trainer(CFG, TrainConfig(batch_size=2), data_root=root,
+                 log_dir=str(tmp_path / "run2"), gt_dir=gt_dir,
+                 train_list=[SEQ], val_list=[SEQ], use_mesh=False)
+    t2.restore(path=str(tmp_path / "run1" / "checkpoints"))
+    assert t2.start_epoch == 4
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.step), np.asarray(t1.state.step)
+    )
