@@ -179,3 +179,27 @@ def test_ate_known_offset():
         mo[1, 3] = 2.0  # constant 2 m lateral offset
         off.append(mo)
     assert KM.absolute_trajectory_error(poses, off, align=False) == pytest.approx(2.0)
+
+
+def test_standalone_evaluate_cli(tmp_path, capsys):
+    """Parity with invoking the reference evaluator as a program
+    (kitti_evaluation.py:623-632): score existing trajectory files."""
+    from efficientlo_net_tpu.evaluation.evaluate_cli import main
+
+    gt = make_straight_trajectory(3000, step=0.5)
+    pred = make_straight_trajectory(3000, step=0.505)  # 1% scale error
+    res_dir = tmp_path / "result"
+    gt_dir = tmp_path / "gt"
+    res_dir.mkdir(); gt_dir.mkdir()
+    np.savetxt(gt_dir / "07.txt", np.stack([p[:3].reshape(-1) for p in gt]))
+    np.savetxt(res_dir / "07_pred.txt",
+               np.stack([p[:3].reshape(-1) for p in pred]))
+
+    rc = main(["--result_dir", str(res_dir), "--gt_dir", str(gt_dir),
+               "--eva_seqs", "07_pred"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "seq07 Average_t_error" in out
+    t_rel = float(out.split("Average_t_error")[1].split()[0])
+    assert abs(t_rel - 1.0) < 0.1  # the planted 1% scale error
+    assert (res_dir / "07_errors.txt").exists()
