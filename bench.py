@@ -209,13 +209,16 @@ def _bench_train(cfg, model):
     }
     key = jax.random.key(2)
 
+    # sync via jax.device_get (data must actually arrive): the axon remote
+    # tunnel's block_until_ready returns before execution finishes, which
+    # made this bench report dispatch time, not step time
     state, metrics = step(state, batch, key)  # compile + warm
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))
     n = 10
     t0 = time.perf_counter()
     for i in range(n):
         state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    float(jax.device_get(metrics["loss"]))  # last step depends on all prior
     dt = time.perf_counter() - t0
     return BATCH * n / dt, 1e3 * dt / n
 

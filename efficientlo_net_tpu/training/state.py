@@ -67,7 +67,11 @@ def create_train_state(model, model_cfg, train_cfg: TrainConfig, rng) -> TrainSt
         "neighbor": jax.random.fold_in(rng, 1),
         "dropout": jax.random.fold_in(rng, 2),
     }
-    variables = model.init(rngs, dummy, dummy, training=False)
+    # jit the init: eager init dispatches thousands of tiny ops, which is
+    # minutes of round trips through a remote-TPU tunnel
+    variables = jax.jit(model.init, static_argnames=("training",))(
+        rngs, dummy, dummy, training=False
+    )
     params = {
         "model": variables["params"],
         "w_x": jnp.asarray(train_cfg.w_x_init, dtype=jnp.float32),

@@ -111,7 +111,8 @@ def main():
         step = jax.jit(make_train_step(model, mcfg, tcfg), donate_argnums=(0,))
         key = jax.random.key(2)
         state, metrics = step(state, batch, key)
-        jax.block_until_ready(metrics["loss"])
+        float(jax.device_get(metrics["loss"]))  # hard sync (axon's
+        # block_until_ready returns before execution finishes)
         n = 10
         t0 = time.perf_counter()
         for i in range(n):

@@ -60,18 +60,43 @@ def main():
     train_step = jax.jit(make_train_step(model, cfg, tcfg), donate_argnums=(0,))
     eval_step = make_eval_step(model, cfg)
 
-    rng = np.random.default_rng(0)
     key = jax.random.key(1)
 
+    # Batch generation costs ~225 ms on this host (150k pts x B=8) vs a
+    # ~110 ms device step — prefetch batches on worker threads so the long
+    # runs are device-bound, not host-bound.  Per-step RNG streams are
+    # independent (seeded by step index) so worker count doesn't change data.
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+    stop = threading.Event()
+    next_step = iter(range(args.steps))
+    step_lock = threading.Lock()
+
+    def producer():
+        while not stop.is_set():
+            with step_lock:
+                i = next(next_step, None)
+            if i is None:
+                return
+            b = synthetic_batch(
+                np.random.default_rng(i), args.batch, cfg.sensor, training=True
+            )
+            q.put((i, b))
+
+    workers = [threading.Thread(target=producer, daemon=True) for _ in range(3)]
+    for w in workers:
+        w.start()
+
+    pending = {}
     curve = []
     t0 = time.time()
     for step_i in range(args.steps):
-        batch = {
-            k: jnp.asarray(v)
-            for k, v in synthetic_batch(
-                rng, args.batch, cfg.sensor, training=True
-            ).items()
-        }
+        while step_i not in pending:
+            i, b = q.get()
+            pending[i] = b
+        batch = {k: jnp.asarray(v) for k, v in pending.pop(step_i).items()}
         state, metrics = train_step(state, batch, jax.random.fold_in(key, step_i))
         if step_i % 20 == 0 or step_i == args.steps - 1:
             loss = float(jax.device_get(metrics["loss"]))

@@ -190,7 +190,9 @@ def bench_train():
 
     # chained: state feeds forward naturally
     state, _ = step(state, batch, jax.random.key(0))  # compile
-    jax.block_until_ready(state.params["w_x"])
+    # hard sync: axon's block_until_ready returns before execution finishes
+    import numpy as _np
+    _np.asarray(jax.device_get(state.params["w_x"]))
     n = 10
     t0 = time.perf_counter()
     for i in range(n):

@@ -80,7 +80,8 @@ def main():
         key = jax.device_put(jax.random.key(1), replicated(mesh))
 
         state, m = step(state, batch, key)  # compile
-        jax.block_until_ready(m["loss"])
+        float(jax.device_get(m["loss"]))  # hard sync (axon's
+        # block_until_ready returns before execution finishes)
         t0 = time.perf_counter()
         for i in range(args.steps):
             state, m = step(state, batch, key)
