@@ -45,6 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="MLP compute dtype (pose heads / BN stats stay f32); see "
              "docs/bf16_perf.md for the measured trade-off",
     )
+    p.add_argument(
+        "--host_projection", action="store_true",
+        help="project range images on the host (native C++ projector) inside "
+             "the loader workers; the device train step consumes dense "
+             "images, freeing ~30%% of its time (docs/perf_breakdown.json)",
+    )
     p.add_argument("--no_mesh", action="store_true", help="disable multi-device DP")
     p.add_argument(
         "--coordinator", default=None,
@@ -79,6 +85,7 @@ def main(argv=None) -> None:
         optimizer=args.optimizer,
         momentum=args.momentum,
         max_epoch=args.max_epoch,
+        host_projection=args.host_projection,
     )
 
     log_dir = args.log_dir + datetime.now().strftime("%Y_%m_%d_%H_%M_%S")

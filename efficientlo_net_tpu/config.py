@@ -217,6 +217,12 @@ class TrainConfig:
     # host->device bytes at 1.25 mm quantization — far below sensor noise.
     quantized_transfer: bool = False
 
+    # Host-projected training (data/host_preprocess.py): loader workers
+    # crop/augment/project on CPU (native C++ projector) and the device step
+    # consumes dense range images — removes the scatter-bound input
+    # projections (~30% of device step time) from the TensorCore.
+    host_projection: bool = False
+
     def learning_rate(self, step: int):
         """Staircase exponential decay on samples seen (main.py:120-128)."""
         import jax.numpy as jnp

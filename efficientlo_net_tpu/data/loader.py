@@ -84,6 +84,7 @@ class PrefetchLoader:
         num_workers: int = 4,
         prefetch: int = 8,
         drop_last: bool = True,
+        host_projection_sensor=None,
     ):
         self.dataset = dataset
         self.indices = np.asarray(indices)
@@ -93,6 +94,10 @@ class PrefetchLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # host-projected path: pass the SensorConfig and workers emit
+        # projected p1/p2 range images instead of raw clouds
+        # (data/host_preprocess.py)
+        self.host_projection_sensor = host_projection_sensor
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -126,6 +131,12 @@ class PrefetchLoader:
                     return
                 brng = np.random.default_rng([self.seed, epoch, bi])
                 batch = make_batch(self.dataset, idxs, brng, self.training)
+                if self.host_projection_sensor is not None:
+                    from .host_preprocess import augment_project_batch
+
+                    batch = augment_project_batch(
+                        batch, self.host_projection_sensor
+                    )
                 with lock:
                     results[bi] = batch
                 # bounded put must not deadlock a worker after abandonment

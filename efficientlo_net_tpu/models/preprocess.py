@@ -43,13 +43,26 @@ def preprocess(pc_f1, pc_f2, T_gt, T_trans, T_trans_inv, aug_frame, max_planar_r
     pc1_aug = jnp.where(aug1, pc1_t, pc1)
     pc2_aug = jnp.where(aug1, pc2, pc2_t)
 
-    # GT adjustment (model_util.py:402,417)
+    q_gt, t_gt = gt_quat(T_gt, T_trans, T_trans_inv, aug_frame)
+    return pc1_aug, pc2_aug, q_gt, t_gt
+
+
+def gt_quat(T_gt, T_trans, T_trans_inv, aug_frame):
+    """Augmentation-adjusted GT as (q_gt (B,4), t_gt (B,3)).
+
+    GT adjustment per augmented frame (model_util.py:402,417), then
+    R -> euler(zyx) -> quaternion exactly as the reference converts GT
+    rotations (model_util.py:425-426).  Split out of ``preprocess`` so the
+    host-projected training path (data/host_preprocess.py), which augments
+    and projects point clouds on the CPU, can still derive GT on device from
+    the exact same code.
+    """
+    aug1 = (aug_frame == 1)[:, None, None]
     T_gt_aug = jnp.where(
         aug1,
         jnp.matmul(T_gt, T_trans_inv),
         jnp.matmul(T_trans, T_gt),
     )
-
     q_gt = Q.mat_to_quat(T_gt_aug[:, :3, :3])
     t_gt = T_gt_aug[:, :3, 3]
-    return pc1_aug, pc2_aug, q_gt, t_gt
+    return q_gt, t_gt

@@ -16,13 +16,15 @@ from ..training.step import make_train_step
 from .mesh import batch_sharding, replicated
 
 
-def make_sharded_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig, mesh: Mesh):
+def make_sharded_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig, mesh: Mesh,
+                            host_projected: bool = False):
     """jit the train step with explicit in/out shardings over ``mesh``.
 
     state: fully replicated; batch: sharded on the leading axis; rng:
     replicated.  XLA derives the cross-device grad reduction.
     """
-    step = make_train_step(model, model_cfg, train_cfg)
+    step = make_train_step(model, model_cfg, train_cfg,
+                           host_projected=host_projected)
     rep = replicated(mesh)
     bshard = batch_sharding(mesh)
 

@@ -45,12 +45,38 @@ def _forward_inputs(batch, sensor):
     return jax.lax.stop_gradient(p1), jax.lax.stop_gradient(p2), q_gt, t_gt
 
 
-def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig):
+def _forward_inputs_projected(batch):
+    """Inputs for the host-projected path (data/host_preprocess.py): range
+    images arrive pre-cropped/augmented/projected from the loader's worker
+    threads; only the GT quaternion derivation stays on device."""
+    from ..models.preprocess import gt_quat
+
+    q_gt, t_gt = gt_quat(
+        batch["T_gt"], batch["T_trans"], batch["T_trans_inv"],
+        batch["aug_frame"],
+    )
+    return (
+        jax.lax.stop_gradient(batch["p1"]),
+        jax.lax.stop_gradient(batch["p2"]),
+        q_gt,
+        t_gt,
+    )
+
+
+def make_train_step(model, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                    host_projected: bool = False):
+    """``host_projected=True`` consumes batches whose range images were
+    projected on the host (keys p1/p2) instead of raw point clouds —
+    removes the ~30% of device step time spent in the scatter-bound input
+    projections (docs/perf_breakdown.json)."""
     optimizer = make_optimizer(train_cfg)
     bn_sched = bn_momentum_schedule(train_cfg)
 
     def loss_fn(params, batch_stats, batch, rng, bn_momentum):
-        p1, p2, q_gt, t_gt = _forward_inputs(batch, model_cfg.sensor)
+        if host_projected:
+            p1, p2, q_gt, t_gt = _forward_inputs_projected(batch)
+        else:
+            p1, p2, q_gt, t_gt = _forward_inputs(batch, model_cfg.sensor)
         rngs = {
             "neighbor": jax.random.fold_in(rng, 0),
             "dropout": jax.random.fold_in(rng, 1),

@@ -82,12 +82,14 @@ class Trainer:
             self.mesh = make_mesh()
             self.state = replicate_state(self.state, self.mesh)
             self.train_step = make_sharded_train_step(
-                self.model, model_cfg, train_cfg, self.mesh
+                self.model, model_cfg, train_cfg, self.mesh,
+                host_projected=train_cfg.host_projection,
             )
         else:
             self.mesh = None
             self.train_step = jax.jit(
-                make_train_step(self.model, model_cfg, train_cfg),
+                make_train_step(self.model, model_cfg, train_cfg,
+                                host_projected=train_cfg.host_projection),
                 donate_argnums=(0,),
             )
         self.eval_step = make_eval_step(self.model, model_cfg)
@@ -128,7 +130,7 @@ class Trainer:
         )
 
     def _device_batch(self, batch):
-        if self.train_cfg.quantized_transfer:
+        if self.train_cfg.quantized_transfer and "pc1" in batch:
             from ..data.loader import quantize_points
 
             batch = dict(
@@ -148,6 +150,10 @@ class Trainer:
             self.train_cfg.batch_size,
             training=True,
             seed=self.seed,
+            host_projection_sensor=(
+                self.model_cfg.sensor
+                if self.train_cfg.host_projection else None
+            ),
         )
         losses = []
         t_epoch = time.time()

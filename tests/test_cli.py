@@ -21,10 +21,12 @@ def test_reference_flag_parity_defaults():
 def test_tpu_native_extras():
     a = build_parser().parse_args(
         ["--mode", "test", "--sensor", "vlp16", "--compute_dtype", "bfloat16",
-         "--no_mesh", "--coordinator", "host0:1234"]
+         "--no_mesh", "--coordinator", "host0:1234", "--host_projection"]
     )
     assert a.mode == "test"
     assert a.sensor == "vlp16"
     assert a.compute_dtype == "bfloat16"
     assert a.no_mesh
     assert a.coordinator == "host0:1234"
+    assert a.host_projection
+    assert not build_parser().parse_args([]).host_projection

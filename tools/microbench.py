@@ -203,6 +203,32 @@ def bench_train():
     print(f"train step B=8: {1e3 * dt:.2f} ms/step ({1e3 * dt / 8:.3f} ms/frame), "
           f"loss={loss:.3f}")
 
+    # host-projected variant (data/host_preprocess.py): device step consumes
+    # pre-projected images; measures what moving the scatter-bound input
+    # projections to the host buys the TensorCore
+    from efficientlo_net_tpu.training.step import _forward_inputs
+
+    p1, p2, _, _ = jax.jit(
+        lambda b: _forward_inputs(b, cfg.sensor)
+    )(batch)
+    proj_batch = {
+        "p1": p1, "p2": p2, "T_gt": batch["T_gt"],
+        "T_trans": batch["T_trans"], "T_trans_inv": batch["T_trans_inv"],
+        "aug_frame": batch["aug_frame"],
+    }
+    step_p = jax.jit(make_train_step(model, cfg, tcfg, host_projected=True))
+    state_p = create_train_state(model, cfg, tcfg, jax.random.key(0))
+    state_p, m = step_p(state_p, proj_batch, jax.random.key(0))
+    float(jax.device_get(m["loss"]))  # hard sync
+    t0 = time.perf_counter()
+    for i in range(n):
+        state_p, m = step_p(state_p, proj_batch, jax.random.key(i))
+    loss = float(jax.device_get(m["loss"]))
+    dt = (time.perf_counter() - t0) / n
+    RESULTS["train_step_host_projected_ms"] = round(1e3 * dt, 3)
+    print(f"train step (host-projected inputs) B=8: {1e3 * dt:.2f} ms/step "
+          f"({1e3 * dt / 8:.3f} ms/frame), loss={loss:.3f}")
+
 
 if __name__ == "__main__":
     import json
