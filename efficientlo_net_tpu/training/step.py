@@ -49,15 +49,26 @@ def _forward_inputs_projected(batch):
     """Inputs for the host-projected path (data/host_preprocess.py): range
     images arrive pre-cropped/augmented/projected from the loader's worker
     threads; only the GT quaternion derivation stays on device."""
+    import jax.numpy as jnp
+
     from ..models.preprocess import gt_quat
 
+    p1, p2 = batch["p1"], batch["p2"]
+    if jnp.issubdtype(p1.dtype, jnp.integer):
+        # int16 image transfer (TrainConfig.quantized_transfer): XYZ pixel
+        # values share the point quantization (1.25 mm LSB, ranges <= 35 m)
+        from ..data.loader import POINT_QUANT_SCALE
+
+        inv = jnp.float32(1.0 / POINT_QUANT_SCALE)
+        p1 = p1.astype(jnp.float32) * inv
+        p2 = p2.astype(jnp.float32) * inv
     q_gt, t_gt = gt_quat(
         batch["T_gt"], batch["T_trans"], batch["T_trans_inv"],
         batch["aug_frame"],
     )
     return (
-        jax.lax.stop_gradient(batch["p1"]),
-        jax.lax.stop_gradient(batch["p2"]),
+        jax.lax.stop_gradient(p1),
+        jax.lax.stop_gradient(p2),
         q_gt,
         t_gt,
     )

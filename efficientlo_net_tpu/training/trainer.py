@@ -130,14 +130,21 @@ class Trainer:
         )
 
     def _device_batch(self, batch):
-        if self.train_cfg.quantized_transfer and "pc1" in batch:
+        if self.train_cfg.quantized_transfer:
             from ..data.loader import quantize_points
 
-            batch = dict(
-                batch,
-                pc1=quantize_points(batch["pc1"]),
-                pc2=quantize_points(batch["pc2"]),
-            )
+            if "pc1" in batch:
+                batch = dict(
+                    batch,
+                    pc1=quantize_points(batch["pc1"]),
+                    pc2=quantize_points(batch["pc2"]),
+                )
+            elif "p1" in batch:  # host-projected images quantize the same way
+                batch = dict(
+                    batch,
+                    p1=quantize_points(batch["p1"]),
+                    p2=quantize_points(batch["p2"]),
+                )
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if self.mesh is not None:
             batch = shard_batch(self.mesh, batch)

@@ -135,6 +135,28 @@ def test_host_projected_training_learns():
     assert losses[-1] < losses[0]
 
 
+def test_quantized_projected_transfer_matches_float():
+    """int16 image transfer (1.25 mm LSB) must track the float loss to
+    within the quantization noise floor."""
+    from efficientlo_net_tpu.data.loader import quantize_points
+
+    model = PWCLONet(CFG)
+    step = jax.jit(make_train_step(model, CFG, TCFG, host_projected=True))
+    batch = augment_project_batch(_raw_batch(seed=4), CFG.sensor)
+
+    f32 = {k: jnp.asarray(v) for k, v in batch.items()}
+    i16 = dict(f32, p1=jnp.asarray(quantize_points(batch["p1"])),
+               p2=jnp.asarray(quantize_points(batch["p2"])))
+    rng = jax.random.key(5)
+    s0 = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    s1 = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    _, m0 = step(s0, f32, rng)
+    _, m1 = step(s1, i16, rng)
+    np.testing.assert_allclose(
+        float(m0["loss"]), float(m1["loss"]), rtol=0.02, atol=0.05
+    )
+
+
 def test_loader_emits_projected_batches():
     from efficientlo_net_tpu.data.loader import PrefetchLoader
 

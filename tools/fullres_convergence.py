@@ -33,6 +33,27 @@ def main():
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--eval_pairs", type=int, default=8)
+    ap.add_argument(
+        "--host_projection", action="store_true",
+        help="crop/augment/project batches on the host workers "
+             "(data/host_preprocess.py); the device step consumes images",
+    )
+    ap.add_argument(
+        "--quantized_transfer", action="store_true",
+        help="ship batches as int16 (1.25 mm LSB): halves both the tunnel "
+             "bandwidth and the axon client's per-transfer host leak",
+    )
+    ap.add_argument(
+        "--ckpt_dir", default=None,
+        help="chunked execution: save/resume state here — the axon client "
+             "leaks host memory per transfer (docs/axon_transfer_leak.md), "
+             "so long runs execute as several fresh processes",
+    )
+    ap.add_argument(
+        "--chunk", type=int, default=0,
+        help="with --ckpt_dir: exit (after saving) once this many steps ran "
+             "in this process; rerun the same command to continue",
+    )
     args = ap.parse_args()
 
     import jax
@@ -57,10 +78,33 @@ def main():
           f"N={cfg.sensor.num_points}, B={args.batch}", flush=True)
 
     state = create_train_state(model, cfg, tcfg, jax.random.key(0))
-    train_step = jax.jit(make_train_step(model, cfg, tcfg), donate_argnums=(0,))
+    train_step = jax.jit(
+        make_train_step(model, cfg, tcfg,
+                        host_projected=args.host_projection),
+        donate_argnums=(0,),
+    )
     eval_step = make_eval_step(model, cfg)
 
     key = jax.random.key(1)
+
+    start_step, curve, wall_prev = 0, [], 0.0
+    mgr = None
+    if args.ckpt_dir:
+        from efficientlo_net_tpu.training.checkpoint import CheckpointManager
+
+        ckpt_dir = os.path.abspath(args.ckpt_dir)
+        mgr = CheckpointManager(ckpt_dir, max_to_keep=2)
+        curve_file = os.path.join(ckpt_dir, "conv_curve.json")
+        if mgr.latest_step() is not None:
+            state = mgr.restore(state)
+            start_step = int(np.asarray(state.step))
+            if os.path.exists(curve_file):
+                saved = json.load(open(curve_file))
+                curve, wall_prev = saved["curve"], saved["wall_s"]
+            print(f"resumed at step {start_step}", flush=True)
+    end_step = (
+        min(args.steps, start_step + args.chunk) if args.chunk else args.steps
+    )
 
     # Batch generation costs ~225 ms on this host (150k pts x B=8) vs a
     # ~110 ms device step — prefetch batches on worker threads so the long
@@ -71,7 +115,7 @@ def main():
 
     q: "queue.Queue" = queue.Queue(maxsize=4)
     stop = threading.Event()
-    next_step = iter(range(args.steps))
+    next_step = iter(range(start_step, end_step))
     step_lock = threading.Lock()
 
     def producer():
@@ -83,6 +127,18 @@ def main():
             b = synthetic_batch(
                 np.random.default_rng(i), args.batch, cfg.sensor, training=True
             )
+            if args.host_projection:
+                from efficientlo_net_tpu.data.host_preprocess import (
+                    augment_project_batch,
+                )
+
+                b = augment_project_batch(b, cfg.sensor)
+            if args.quantized_transfer:
+                from efficientlo_net_tpu.data.loader import quantize_points
+
+                for k in ("pc1", "pc2", "p1", "p2"):
+                    if k in b:
+                        b[k] = quantize_points(b[k])
             q.put((i, b))
 
     workers = [threading.Thread(target=producer, daemon=True) for _ in range(3)]
@@ -90,9 +146,8 @@ def main():
         w.start()
 
     pending = {}
-    curve = []
     t0 = time.time()
-    for step_i in range(args.steps):
+    for step_i in range(start_step, end_step):
         while step_i not in pending:
             i, b = q.get()
             pending[i] = b
@@ -103,6 +158,17 @@ def main():
             curve.append({"step": step_i, "loss": round(loss, 4)})
             print(f"step {step_i:4d} loss {loss:9.4f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+
+    if mgr is not None:
+        mgr.save(state)
+        with open(curve_file, "w") as f:
+            json.dump(
+                {"curve": curve, "wall_s": wall_prev + time.time() - t0}, f
+            )
+    if end_step < args.steps:
+        print(f"chunk done: {end_step}/{args.steps} steps "
+              f"(rerun to continue)", flush=True)
+        return 0
 
     # held-out evaluation: unseen pairs, eval mode (no aug, BN stats)
     eval_rng = np.random.default_rng(12345)
@@ -124,7 +190,7 @@ def main():
 
     t_err = float(np.mean(t_errs))
     r_err = float(np.degrees(np.mean(r_errs)))
-    wall = time.time() - t0
+    wall = wall_prev + time.time() - t0
     result = {
         "device": jax.devices()[0].device_kind,
         "resolution": [cfg.sensor.height, cfg.sensor.width],
