@@ -144,9 +144,10 @@ def main():
 
     # --- train-step throughput (auditable next to inference; VERDICT r1) ---
     train_fps, train_ms = float("nan"), float("nan")
+    proj_fps, proj_ms = float("nan"), float("nan")
     if os.environ.get("ELO_BENCH_TRAIN", "1") == "1":
         try:
-            train_fps, train_ms = _bench_train(cfg, model)
+            train_fps, train_ms, proj_fps, proj_ms = _bench_train(cfg, model)
         except Exception as e:  # never lose the primary metric
             print(f"train bench failed: {e!r}", file=sys.stderr)
 
@@ -155,6 +156,12 @@ def main():
         "streaming_fps": round(fps, 2),
         "train_fps": None if np.isnan(train_fps) else round(train_fps, 2),
         "train_step_ms": None if np.isnan(train_ms) else round(train_ms, 2),
+        # host-projected inputs (--host_projection): the scatter-bound input
+        # projections run on the CPU loader workers instead of the device
+        "train_fps_host_projected":
+            None if np.isnan(proj_fps) else round(proj_fps, 2),
+        "train_step_host_projected_ms":
+            None if np.isnan(proj_ms) else round(proj_ms, 2),
         "batch": BATCH,
         "device": jax.devices()[0].device_kind,
     }
@@ -182,25 +189,28 @@ def main():
         f"streaming: {fps:.1f} fps "
         f"({1e3 * dt_stream / (BATCH * ITERS):.3f} ms/frame) | "
         f"paired: {paired_txt} | train: {train_fps:.1f} fps "
-        f"({train_ms:.1f} ms/step) | batch={BATCH} "
+        f"({train_ms:.1f} ms/step) | train host-projected: "
+        f"{proj_fps:.1f} fps ({proj_ms:.1f} ms/step) | batch={BATCH} "
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
 
 
 def _bench_train(cfg, model):
-    """Train-step frames/s on one chip (dependent steps, one final sync)."""
+    """Train-step frames/s on one chip (dependent steps, one final sync),
+    for both the on-device input pipeline and the host-projected variant."""
     import jax
     import jax.numpy as jnp
 
     from efficientlo_net_tpu.config import TrainConfig
     from efficientlo_net_tpu.data.synthetic import synthetic_batch
     from efficientlo_net_tpu.training.state import create_train_state
-    from efficientlo_net_tpu.training.step import make_train_step
+    from efficientlo_net_tpu.training.step import (
+        _forward_inputs,
+        make_train_step,
+    )
 
     tcfg = TrainConfig(batch_size=BATCH)
-    state = create_train_state(model, cfg, tcfg, jax.random.key(0))
-    step = jax.jit(make_train_step(model, cfg, tcfg), donate_argnums=(0,))
 
     rng = np.random.default_rng(1)
     batch = {
@@ -208,19 +218,39 @@ def _bench_train(cfg, model):
         for k, v in synthetic_batch(rng, BATCH, cfg.sensor, training=True).items()
     }
     key = jax.random.key(2)
-
-    # sync via jax.device_get (data must actually arrive): the axon remote
-    # tunnel's block_until_ready returns before execution finishes, which
-    # made this bench report dispatch time, not step time
-    state, metrics = step(state, batch, key)  # compile + warm
-    float(jax.device_get(metrics["loss"]))
     n = 10
-    t0 = time.perf_counter()
-    for i in range(n):
-        state, metrics = step(state, batch, jax.random.fold_in(key, i))
-    float(jax.device_get(metrics["loss"]))  # last step depends on all prior
-    dt = time.perf_counter() - t0
-    return BATCH * n / dt, 1e3 * dt / n
+
+    def timed(step, state, batch):
+        # sync via jax.device_get (data must actually arrive): the axon
+        # remote tunnel's block_until_ready returns before execution
+        # finishes, which would report dispatch time, not step time
+        state, metrics = step(state, batch, key)  # compile + warm
+        float(jax.device_get(metrics["loss"]))
+        t0 = time.perf_counter()
+        for i in range(n):
+            state, metrics = step(state, batch, jax.random.fold_in(key, i))
+        float(jax.device_get(metrics["loss"]))  # depends on all prior steps
+        dt = time.perf_counter() - t0
+        return BATCH * n / dt, 1e3 * dt / n
+
+    state = create_train_state(model, cfg, tcfg, jax.random.key(0))
+    fps, ms = timed(
+        jax.jit(make_train_step(model, cfg, tcfg), donate_argnums=(0,)),
+        state, batch,
+    )
+
+    p1, p2, _, _ = jax.jit(lambda b: _forward_inputs(b, cfg.sensor))(batch)
+    proj_batch = {
+        "p1": p1, "p2": p2, "T_gt": batch["T_gt"],
+        "T_trans": batch["T_trans"], "T_trans_inv": batch["T_trans_inv"],
+        "aug_frame": batch["aug_frame"],
+    }
+    state_p = create_train_state(model, cfg, tcfg, jax.random.key(0))
+    proj_fps, proj_ms = timed(
+        jax.jit(make_train_step(model, cfg, tcfg, host_projected=True)),
+        state_p, proj_batch,
+    )
+    return fps, ms, proj_fps, proj_ms
 
 
 if __name__ == "__main__":
