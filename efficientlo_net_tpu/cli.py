@@ -51,6 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
              "the loader workers; the device train step consumes dense "
              "images, freeing ~30%% of its time (docs/perf_breakdown.json)",
     )
+    p.add_argument(
+        "--quantized_transfer", action="store_true",
+        help="ship batches host->device as int16 (1.25 mm LSB, far below "
+             "sensor noise): halves the transfer bandwidth",
+    )
     p.add_argument("--no_mesh", action="store_true", help="disable multi-device DP")
     p.add_argument(
         "--coordinator", default=None,
@@ -86,6 +91,7 @@ def main(argv=None) -> None:
         momentum=args.momentum,
         max_epoch=args.max_epoch,
         host_projection=args.host_projection,
+        quantized_transfer=args.quantized_transfer,
     )
 
     log_dir = args.log_dir + datetime.now().strftime("%Y_%m_%d_%H_%M_%S")

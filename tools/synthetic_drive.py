@@ -128,7 +128,11 @@ def _trainer(args):
     from efficientlo_net_tpu.config import TrainConfig
     from efficientlo_net_tpu.training.trainer import Trainer
 
-    tcfg = TrainConfig(batch_size=args.batch, base_learning_rate=1e-3)
+    tcfg = TrainConfig(
+        batch_size=args.batch, base_learning_rate=1e-3,
+        host_projection=args.host_projection,
+        quantized_transfer=args.quantized_transfer,
+    )
     return Trainer(
         _model_cfg(), tcfg, data_root=args.root, log_dir=args.log_dir,
         gt_dir=args.gt_dir, train_list=TRAIN_SEQS, val_list=[EVAL_SEQ],
@@ -437,6 +441,15 @@ def main():
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--host_projection", action="store_true", default=True,
+                    help="loader workers crop/augment/project on CPU; the "
+                         "device train step consumes dense range images")
+    ap.add_argument("--no_host_projection", dest="host_projection",
+                    action="store_false")
+    ap.add_argument("--quantized_transfer", action="store_true", default=True,
+                    help="int16 (1.25 mm LSB) host->device transfer")
+    ap.add_argument("--no_quantized_transfer", dest="quantized_transfer",
+                    action="store_false")
     ap.add_argument("--scan_factors", action="store_true", default=True)
     ap.add_argument("--no_scan_factors", dest="scan_factors",
                     action="store_false")
