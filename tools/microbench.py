@@ -169,6 +169,47 @@ def bench_latency():
           f"{1e3 * dt:.2f} ms ({hz:.0f} Hz; HDL-64 spins at 10 Hz)")
 
 
+def bench_select():
+    """Pallas vs pure-XLA ("fast") neighbor-select at the real network
+    geometries — the framework's replacement for the reference's two CUDA
+    ops (tf_ops/*), and the one place a hand-written TPU kernel competes
+    with the compiler.  B=8, real projected validity patterns."""
+    import jax.numpy as jnp
+
+    from efficientlo_net_tpu.config import ModelConfig
+    from efficientlo_net_tpu.ops import neighbors as N
+
+    cfg = ModelConfig()
+    _, _, _, _, _, p1, p2 = _model_setup()
+    # the level grids ARE strided slices of the full-res projection
+    l0_1, l0_2 = p1[:, ::4, ::8], p2[:, ::4, ::8]          # (8, 16, 225, 3)
+    l2_1, l2_2 = l0_1[:, ::4, ::4][:, :4], l0_2[:, ::4, ::4][:, :4]  # 4x57
+
+    cases = [
+        # (name, xyz1, xyz2, kernel, k, dist, center_stride, mode)
+        ("down_l0_9x15_k32", p1, p2, cfg.down_kernels[0], cfg.down_K[0],
+         cfg.down_conv_dis[0], (4, 8), N.FIRST_K),
+        ("cv_refine_l0_11x41_k6", l0_1, l0_2, cfg.cv_kernel2[0],
+         cfg.cv_nsample_q[0], 1000.0, (1, 1), N.KNN),
+        ("cv_coarse_l2_5x35_k32", l2_1, l2_2, cfg.cv_kernel2[3],
+         cfg.cv_nsample_q[3], 1000.0, (1, 1), N.KNN),
+    ]
+    for name, x1, x2, kernel, k, dist, cstride, mode in cases:
+        for impl in ("pallas", "fast"):
+            def fn(eps, x1, x2, kernel=kernel, k=k, dist=dist,
+                   cstride=cstride, mode=mode, impl=impl):
+                _, mask = N.select_neighbors(
+                    x1 + eps, x2, kernel, k, dist,
+                    center_stride=cstride, mode=mode, impl=impl,
+                )
+                return mask
+
+            dt = chain_timer(fn, (x1, x2))
+            RESULTS[f"select_{name}_{impl}_us"] = round(1e6 * dt / 8, 1)
+            print(f"select[{name}][{impl}] B=8: {1e3 * dt:.3f} ms/iter "
+                  f"({1e6 * dt / 8:.1f} us/frame)")
+
+
 def bench_train():
     import jax
 
@@ -243,6 +284,8 @@ if __name__ == "__main__":
         bench_stages()
     if what in ("latency", "all"):
         bench_latency()
+    if what in ("select", "all"):
+        bench_select()
     if what in ("train", "all"):
         bench_train()
     if "--json" in sys.argv:

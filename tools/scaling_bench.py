@@ -27,6 +27,8 @@ def main():
     p.add_argument("--tiny", action="store_true", help="tiny model config")
     p.add_argument("--cpu", action="store_true", help="force CPU virtual devices")
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--json", action="store_true",
+                   help="write docs/scaling.{json,md} with the results")
     args = p.parse_args()
 
     if args.cpu:
@@ -59,7 +61,7 @@ def main():
     model = PWCLONet(cfg)
     rng = np.random.default_rng(0)
 
-    results = {}
+    results, rows = {}, []
     for n in args.devices:
         devs = jax.devices()[:n]
         if len(devs) < n:
@@ -91,11 +93,53 @@ def main():
         results[n] = fps
         base = results[min(results)]
         eff = fps / (base * n / min(results)) * 100
+        rows.append({"devices": n, "batch": bsz, "step_ms": round(dt * 1e3, 1),
+                     "frames_per_s": round(fps, 1),
+                     "efficiency_pct": round(eff, 1)})
         print(
             f"devices={n:2d} batch={bsz:3d} step={dt * 1e3:7.1f} ms "
             f"throughput={fps:8.1f} frames/s efficiency={eff:5.1f}%",
             flush=True,
         )
+
+    if args.json and rows:
+        import json
+
+        docs = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
+        )
+        platform = jax.devices()[0].platform
+        payload = {
+            "platform": platform,
+            "device_kind": jax.devices()[0].device_kind,
+            "model": "tiny" if args.tiny else "full",
+            "weak_scaling": rows,
+            "note": (
+                "virtual CPU devices exercise the identical SPMD program the "
+                "TPU mesh would run (psum gradient reduction over the data "
+                "axis); absolute throughput and efficiency are only "
+                "meaningful on real multi-chip hardware"
+                if platform == "cpu" else "real-device measurement"
+            ),
+        }
+        with open(os.path.join(docs, "scaling.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+        lines = [
+            "# Data-parallel weak scaling",
+            "",
+            f"`tools/scaling_bench.py` — {payload['model']} config, "
+            f"{args.per_device_batch} frames/device/step, "
+            f"platform `{platform}` ({payload['device_kind']}).",
+            "",
+            "| devices | global batch | step (ms) | frames/s | efficiency |",
+            "|---|---|---|---|---|",
+        ] + [
+            f"| {r['devices']} | {r['batch']} | {r['step_ms']} | "
+            f"{r['frames_per_s']} | {r['efficiency_pct']}% |"
+            for r in rows
+        ] + ["", payload["note"] + "."]
+        with open(os.path.join(docs, "scaling.md"), "w") as f:
+            f.write("\n".join(lines) + "\n")
 
 
 if __name__ == "__main__":
