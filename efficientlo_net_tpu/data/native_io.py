@@ -14,9 +14,18 @@ from typing import List, Optional
 
 import numpy as np
 
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _LIB_PATHS = [
-    os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), "native", "libefficientlo_io.so"),
+    p
+    for p in (
+        os.environ.get("ELO_NATIVE_LIB"),
+        # installed wheel: setup.py builds the library into the package
+        os.path.join(_PKG_DIR, "libefficientlo_io.so"),
+        # source checkout: `make -C native`
+        os.path.join(os.path.dirname(_PKG_DIR), "native",
+                     "libefficientlo_io.so"),
+    )
+    if p
 ]
 
 _lib = None
