@@ -206,7 +206,23 @@ def main():
     docs = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs"
     )
-    with open(os.path.join(docs, "fullres_convergence.json"), "w") as f:
+    # never let a short smoke run clobber longer-run evidence
+    json_path = os.path.join(docs, "fullres_convergence.json")
+    if os.path.exists(json_path):
+        with open(json_path) as f:
+            prev_steps = json.load(f).get("steps", 0)
+        if prev_steps > args.steps:
+            print(
+                f"existing evidence covers {prev_steps} steps > {args.steps};"
+                " not overwriting docs (pass more --steps to supersede)"
+            )
+            print(json.dumps(
+                {"holdout_t_err_m": t_err, "holdout_r_err_deg": r_err}
+            ))
+            ok = curve[-1]["loss"] < curve[0]["loss"] and t_err < 0.5
+            print("CONVERGENCE", "PASS" if ok else "FAIL")
+            return 0 if ok else 1
+    with open(json_path, "w") as f:
         json.dump(result, f, indent=1)
 
     lines = [
