@@ -161,6 +161,9 @@ def stage_eval(args, trainer=None):
     if trainer is None:
         trainer = _trainer(args)
         trainer.restore()
+        trained_epochs = trainer.start_epoch
+    else:
+        trained_epochs = args.epochs
     params = jax.device_get(trainer.state.params)
     stats = jax.device_get(trainer.state.batch_stats)
     seqs = [EVAL_SEQ]
@@ -177,7 +180,7 @@ def stage_eval(args, trainer=None):
             res = results[seq]
             out[key] = {"t_rel": res.t_rel, "r_rel": res.r_rel,
                         "ate_m": res.ate_m}
-    _merge_report(args, out)
+    _merge_report(args, out, trained_epochs=trained_epochs)
     print(json.dumps(out))
     return trainer
 
@@ -357,13 +360,22 @@ def _plot_map(map_pts: np.ndarray, kf_poses: np.ndarray, path: str):
     plt.close(fig)
 
 
-def _merge_report(args, new: dict):
+def _merge_report(args, new: dict, trained_epochs: int = None):
     path = os.path.join(REPO, "docs", "synthetic_drive.json")
     data = {}
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
     data.update(new)
+    if trained_epochs is not None and "odometry" in new:
+        # learning curve: eval metrics per training budget
+        hist = [h for h in data.get("history", [])
+                if h.get("epochs") != trained_epochs]
+        hist.append({"epochs": trained_epochs,
+                     **{k: round(new[k]["t_rel"], 3)
+                        for k in ("odometry", "odometry_holdout")
+                        if k in new}})
+        data["history"] = sorted(hist, key=lambda h: h["epochs"])
     data["config"] = {
         "train_seqs": TRAIN_SEQS, "eval_seq": EVAL_SEQ,
         "epochs": args.epochs, "batch": args.batch,
@@ -401,6 +413,18 @@ def _write_md(data: dict):
                 f"{data[key]['r_rel']:.3f} | "
                 f"{'-' if ate is None else f'{ate:.3f}'} |"
             )
+    if data.get("history"):
+        lines += [
+            "",
+            "Learning curve (t_rel % vs training epochs):",
+            "",
+            "| epochs | loop drive | holdout drive |",
+            "|---|---|---|",
+        ] + [
+            f"| {h['epochs']} | {h.get('odometry', '-')} | "
+            f"{h.get('odometry_holdout', '-')} |"
+            for h in data["history"]
+        ]
     if "keyframes" in data:
         lines.append("")
         lines.append(
