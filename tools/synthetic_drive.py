@@ -338,6 +338,29 @@ def _map_accuracy(map_pts: np.ndarray) -> float:
     return float(np.median(d))
 
 
+def _plot_curve(history: list, path: str):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5.5, 3.5), dpi=120)
+    for key, label in [("odometry", "loop drive (OOD)"),
+                       ("odometry_holdout", "holdout wander drive")]:
+        pts = [(h["epochs"], h[key]) for h in history if key in h]
+        if pts:
+            ax.plot(*zip(*pts), "o-", label=label)
+    ax.set_xlabel("training epochs")
+    ax.set_ylabel("t_rel (%)")
+    ax.set_yscale("log")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    ax.set_title("Synthetic-drive odometry error vs training budget")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
 def _plot_map(map_pts: np.ndarray, kf_poses: np.ndarray, path: str):
     import matplotlib
 
@@ -368,14 +391,19 @@ def _merge_report(args, new: dict, trained_epochs: int = None):
             data = json.load(f)
     data.update(new)
     if trained_epochs is not None and "odometry" in new:
-        # learning curve: eval metrics per training budget
+        # learning curve: eval metrics per training budget; points from a
+        # different train split are not comparable — drop them
         hist = [h for h in data.get("history", [])
-                if h.get("epochs") != trained_epochs]
-        hist.append({"epochs": trained_epochs,
+                if h.get("epochs") != trained_epochs
+                and h.get("train_seqs") == TRAIN_SEQS]
+        hist.append({"epochs": trained_epochs, "train_seqs": TRAIN_SEQS,
                      **{k: round(new[k]["t_rel"], 3)
                         for k in ("odometry", "odometry_holdout")
                         if k in new}})
         data["history"] = sorted(hist, key=lambda h: h["epochs"])
+        if len(data["history"]) > 1:
+            _plot_curve(data["history"],
+                        os.path.join(REPO, "docs", "synthetic_drive_curve.png"))
     data["config"] = {
         "train_seqs": TRAIN_SEQS, "eval_seq": EVAL_SEQ,
         "epochs": args.epochs, "batch": args.batch,
@@ -425,6 +453,8 @@ def _write_md(data: dict):
             f"{h.get('odometry_holdout', '-')} |"
             for h in data["history"]
         ]
+        if len(data["history"]) > 1:
+            lines += ["", "![learning curve](synthetic_drive_curve.png)"]
     if "keyframes" in data:
         lines.append("")
         lines.append(
