@@ -93,3 +93,56 @@ def test_render_scan_geometry():
 
     d12, _ = cKDTree(back).query(back2[: 2000], workers=-1)
     assert np.median(d12) < 0.1
+
+
+def test_merge_report_history_and_stale_keys(tmp_path, monkeypatch):
+    """ADVICE r2: the report merge must (a) archive — not delete —
+    learning-curve points from other train splits, (b) drop odometry rows a
+    fresh eval did not produce, (c) record the actual trained epoch count
+    and preserve it across stages that don't re-evaluate."""
+    import argparse
+    import json
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    import synthetic_drive as sd
+
+    monkeypatch.setattr(sd, "REPO", str(tmp_path))
+    os.makedirs(tmp_path / "docs")
+    path = tmp_path / "docs" / "synthetic_drive.json"
+    path.write_text(json.dumps({
+        "history": [
+            {"epochs": 12, "train_seqs": [3, 4], "odometry": 99.0},
+            {"epochs": 12, "train_seqs": sd.TRAIN_SEQS, "odometry": 64.4},
+        ],
+        "odometry_holdout": {"t_rel": 73.9, "r_rel": 53.5, "ate_m": 310.3},
+    }))
+    args = argparse.Namespace(epochs=300, batch=8, lr_decay_step=50000,
+                              lr_decay_rate=0.7, bn_decay_step=50000)
+
+    sd._merge_report(
+        args, {"odometry": {"t_rel": 5.0, "r_rel": 4.0, "ate_m": 1.0}},
+        trained_epochs=30,
+    )
+    data = json.loads(path.read_text())
+    # same-split point kept, new point appended; foreign-split point archived
+    assert [h["epochs"] for h in data["history"]] == [12, 30]
+    assert all(h["train_seqs"] == sd.TRAIN_SEQS for h in data["history"])
+    assert data["history_archived"] == [
+        {"epochs": 12, "train_seqs": [3, 4], "odometry": 99.0}
+    ]
+    # the fresh eval had no holdout row -> stale row dropped
+    assert "odometry_holdout" not in data
+    assert data["config"]["trained_epochs"] == 30
+    assert data["config"]["requested_epochs"] == 300
+
+    # a later slam-only merge must not lose the trained-epochs provenance
+    sd._merge_report(args, {"slam_refined": {"t_rel": 1.0, "r_rel": 1.0,
+                                             "ate_m": 0.5}})
+    data = json.loads(path.read_text())
+    assert data["config"]["trained_epochs"] == 30
+    assert data["slam_refined"]["ate_m"] == 0.5
+    md = (tmp_path / "docs" / "synthetic_drive.md").read_text()
+    assert "30 epochs" in md

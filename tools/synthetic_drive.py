@@ -130,6 +130,8 @@ def _trainer(args):
 
     tcfg = TrainConfig(
         batch_size=args.batch, base_learning_rate=1e-3,
+        lr_decay_step=args.lr_decay_step, lr_decay_rate=args.lr_decay_rate,
+        bn_decay_step=args.bn_decay_step,
         host_projection=args.host_projection,
         quantized_transfer=args.quantized_transfer,
     )
@@ -209,8 +211,13 @@ def stage_slam(args, trainer=None):
     def closure_fn(img_j, img_i):
         # re-measure candidate keyframe pairs with the odometry network:
         # model(new=i, prev=j) emits j_T_i, exactly the factor convention
-        # (slam.add_loop_closure: rel = kf_i_T_kf_j for (kf_i=j, kf_j=i))
-        q, t = stream._step(variables, img_i[None], img_j[None])
+        # (slam.add_loop_closure: rel = kf_i_T_kf_j for (kf_i=j, kf_j=i)).
+        # _step consumes feature pyramids, so encode the payload images first
+        import jax.numpy as jnp
+
+        pyr_i = stream._pyramid(variables, jnp.asarray(img_i[None]))
+        pyr_j = stream._pyramid(variables, jnp.asarray(img_j[None]))
+        q, t = stream._step(variables, pyr_i, pyr_j)
         q = np.asarray(q, dtype=np.float64).reshape(4)
         m = np.eye(4)
         m[:3, :3] = quat_to_mat_np(q / np.linalg.norm(q))
@@ -239,7 +246,8 @@ def stage_slam(args, trainer=None):
     for i in range(n):
         scan = ds.read_scan(EVAL_SEQ, i)
         q, t = stream.push(scan)
-        img = np.asarray(stream._prev)[0]  # this frame's (H, W, 3) projection
+        # this frame's (H, W, 3) projection (keyframe payload for scan factors)
+        img = np.asarray(stream.last_projection)[0]
         if i == 0:
             # frame 0 IS keyframe 0 — attach its payload without advancing
             # the frame counter (a dummy add_frame would shift kf_frame_ids
@@ -345,7 +353,7 @@ def _plot_curve(history: list, path: str):
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(5.5, 3.5), dpi=120)
-    for key, label in [("odometry", "loop drive (OOD)"),
+    for key, label in [("odometry", "eval loop drive"),
                        ("odometry_holdout", "holdout wander drive")]:
         pts = [(h["epochs"], h[key]) for h in history if key in h]
         if pts:
@@ -389,13 +397,25 @@ def _merge_report(args, new: dict, trained_epochs: int = None):
     if os.path.exists(path):
         with open(path) as f:
             data = json.load(f)
+    if trained_epochs is not None:
+        # a fresh eval defines the current odometry rows; rows the new eval
+        # did not produce (e.g. the holdout sequence was absent) are stale
+        for k in ("odometry", "odometry_holdout"):
+            if k not in new:
+                data.pop(k, None)
     data.update(new)
     if trained_epochs is not None and "odometry" in new:
         # learning curve: eval metrics per training budget; points from a
-        # different train split are not comparable — drop them
-        hist = [h for h in data.get("history", [])
-                if h.get("epochs") != trained_epochs
-                and h.get("train_seqs") == TRAIN_SEQS]
+        # different train split are not comparable — archive, don't delete
+        hist = data.get("history", [])
+        stale = [h for h in hist if h.get("train_seqs") != TRAIN_SEQS]
+        if stale:
+            data["history_archived"] = data.get("history_archived", []) + stale
+            print(f"archived {len(stale)} learning-curve point(s) from "
+                  f"other train splits", flush=True)
+        hist = [h for h in hist
+                if h.get("train_seqs") == TRAIN_SEQS
+                and h.get("epochs") != trained_epochs]
         hist.append({"epochs": trained_epochs, "train_seqs": TRAIN_SEQS,
                      **{k: round(new[k]["t_rel"], 3)
                         for k in ("odometry", "odometry_holdout")
@@ -404,10 +424,20 @@ def _merge_report(args, new: dict, trained_epochs: int = None):
         if len(data["history"]) > 1:
             _plot_curve(data["history"],
                         os.path.join(REPO, "docs", "synthetic_drive_curve.png"))
-    data["config"] = {
+    cfg = {
         "train_seqs": TRAIN_SEQS, "eval_seq": EVAL_SEQ,
-        "epochs": args.epochs, "batch": args.batch,
+        "requested_epochs": args.epochs, "batch": args.batch,
+        "lr_decay_step": args.lr_decay_step,
+        "lr_decay_rate": args.lr_decay_rate,
+        "bn_decay_step": args.bn_decay_step,
     }
+    # the epoch count the evaluated checkpoint was actually trained for —
+    # preserved across stages that don't re-evaluate (e.g. slam)
+    if trained_epochs is not None:
+        cfg["trained_epochs"] = int(trained_epochs)
+    elif "trained_epochs" in data.get("config", {}):
+        cfg["trained_epochs"] = data["config"]["trained_epochs"]
+    data["config"] = cfg
     with open(path, "w") as f:
         json.dump(data, f, indent=1)
     _write_md(data)
@@ -474,11 +504,14 @@ def _write_md(data: dict):
                 "![map](synthetic_drive_map.png))."
             )
     cfgd = data.get("config", {})
+    epochs_txt = cfgd.get("trained_epochs", cfgd.get("requested_epochs"))
     lines += [
         "",
         f"Train split: seqs {cfgd.get('train_seqs')} (synthetic wander +"
         f" loop drives), eval: seq {cfgd.get('eval_seq')} (closed loop);"
-        f" {cfgd.get('epochs')} epochs at batch {cfgd.get('batch')}.",
+        f" {epochs_txt} epochs at batch {cfgd.get('batch')}"
+        f" (lr 1e-3, x{cfgd.get('lr_decay_rate')} staircase every"
+        f" {cfgd.get('lr_decay_step')} samples).",
     ]
     with open(os.path.join(REPO, "docs", "synthetic_drive.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -494,6 +527,16 @@ def main():
     ap.add_argument("--result_dir", default="/root/drive_data/results")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--batch", type=int, default=8)
+    # the reference decays lr x0.7 / BN momentum per 200k SAMPLES
+    # (main.py:120-138) — ~8.6 epochs on the 23k-frame KITTI split.  The
+    # synthetic split is 2173 frames, so the same sample count would mean
+    # the first decay lands at epoch 92; 50k samples (~23 epochs) keeps the
+    # schedule's epoch-wise shape comparable to the reference run.
+    ap.add_argument("--lr_decay_step", type=int, default=50000,
+                    help="staircase lr decay interval, in samples")
+    ap.add_argument("--lr_decay_rate", type=float, default=0.7)
+    ap.add_argument("--bn_decay_step", type=int, default=50000,
+                    help="BN momentum schedule interval, in samples")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--host_projection", action="store_true", default=True,
                     help="loader workers crop/augment/project on CPU; the "
