@@ -77,6 +77,9 @@ class OdometryStream:
         self._step = _step
         self._variables = variables
         self._prev = None
+        #: (1, H, W, 3) range image of the most recent pushed scan — SLAM
+        #: consumers attach it as the keyframe payload for scan factors
+        self.last_projection = None
         if host_projection:
             from ..data import native_io
 
@@ -110,4 +113,5 @@ class OdometryStream:
         prev = pyr if self._prev is None else self._prev
         q, t = self._step(self._variables, pyr, prev)
         self._prev = pyr
+        self.last_projection = proj
         return np.asarray(q[0]), np.asarray(t[0])

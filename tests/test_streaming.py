@@ -54,6 +54,13 @@ def test_stream_matches_pairwise_forward():
     out_self = model.apply(variables, projs[2], projs[2], training=False)
     np.testing.assert_allclose(q, np.asarray(out_self["q"][0])[0], atol=1e-5)
 
+    # the stream exposes the last pushed scan's projection (SLAM keyframe
+    # payload for scan factors, tools/synthetic_drive.py stage_slam)
+    assert stream.last_projection.shape == (1, h, w, 3)
+    np.testing.assert_allclose(
+        np.asarray(stream.last_projection), np.asarray(projs[2]), atol=1e-6
+    )
+
 
 def test_stream_host_projection_matches_device():
     """Host-projected stream must produce the same poses as the device
