@@ -129,9 +129,11 @@ def main():
     fps = BATCH * ITERS / dt_stream
 
     # the conservative "paired" variant (both frames re-projected every
-    # step, the reference's graph structure) costs a second multi-minute
-    # compile through the remote toolchain; opt in with ELO_BENCH_PAIRED=1
-    if os.environ.get("ELO_BENCH_PAIRED") == "1":
+    # step, the reference's graph structure) is measured by default so the
+    # headline stays comparable round-over-round (VERDICT r2 item 3); its
+    # extra compile is absorbed by the persistent cache after the first run.
+    # Opt out with ELO_BENCH_PAIRED=0.
+    if os.environ.get("ELO_BENCH_PAIRED", "1") == "1":
         np.asarray(chained_paired(variables, pc1, pc2, n=ITERS)[0])
         t0 = time.perf_counter()
         np.asarray(chained_paired(variables, pc1, pc2, n=ITERS)[0])

@@ -46,10 +46,16 @@ def build_parser() -> argparse.ArgumentParser:
              "docs/bf16_perf.md for the measured trade-off",
     )
     p.add_argument(
-        "--host_projection", action="store_true",
+        "--host_projection", action="store_true", default=None,
         help="project range images on the host (native C++ projector) inside "
              "the loader workers; the device train step consumes dense "
-             "images, freeing ~30%% of its time (docs/perf_breakdown.json)",
+             "images, freeing ~30%% of its time (docs/perf_breakdown.json). "
+             "Default: auto — on when the native projector is available",
+    )
+    p.add_argument(
+        "--no_host_projection", dest="host_projection", action="store_false",
+        help="force the on-device input projections even when the native "
+             "host projector is available",
     )
     p.add_argument(
         "--quantized_transfer", action="store_true",

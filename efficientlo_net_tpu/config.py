@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,7 +221,19 @@ class TrainConfig:
     # crop/augment/project on CPU (native C++ projector) and the device step
     # consumes dense range images — removes the scatter-bound input
     # projections (~30% of device step time) from the TensorCore.
-    host_projection: bool = False
+    # None = auto: on when the native projector is importable (the measured
+    # 27% train-step win, docs/perf_breakdown.json, should not hide behind a
+    # flag); the numpy fallback projector would bottleneck the loader, so
+    # auto stays off without the native library.
+    host_projection: Optional[bool] = None
+
+    def resolved_host_projection(self) -> bool:
+        """Tri-state resolution of ``host_projection`` (None = auto)."""
+        if self.host_projection is not None:
+            return self.host_projection
+        from .data import native_io
+
+        return native_io.available()
 
     def learning_rate(self, step: int):
         """Staircase exponential decay on samples seen (main.py:120-128)."""

@@ -78,18 +78,19 @@ class Trainer:
         )
         self.ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
 
+        self.host_projection = train_cfg.resolved_host_projection()
         if use_mesh and len(jax.devices()) > 1:
             self.mesh = make_mesh()
             self.state = replicate_state(self.state, self.mesh)
             self.train_step = make_sharded_train_step(
                 self.model, model_cfg, train_cfg, self.mesh,
-                host_projected=train_cfg.host_projection,
+                host_projected=self.host_projection,
             )
         else:
             self.mesh = None
             self.train_step = jax.jit(
                 make_train_step(self.model, model_cfg, train_cfg,
-                                host_projected=train_cfg.host_projection),
+                                host_projected=self.host_projection),
                 donate_argnums=(0,),
             )
         self.eval_step = make_eval_step(self.model, model_cfg)
@@ -158,8 +159,7 @@ class Trainer:
             training=True,
             seed=self.seed,
             host_projection_sensor=(
-                self.model_cfg.sensor
-                if self.train_cfg.host_projection else None
+                self.model_cfg.sensor if self.host_projection else None
             ),
         )
         losses = []

@@ -29,4 +29,21 @@ def test_tpu_native_extras():
     assert a.no_mesh
     assert a.coordinator == "host0:1234"
     assert a.host_projection
-    assert not build_parser().parse_args([]).host_projection
+    # default is tri-state auto (None -> on when the native projector exists)
+    assert build_parser().parse_args([]).host_projection is None
+    assert (
+        build_parser().parse_args(["--no_host_projection"]).host_projection
+        is False
+    )
+
+
+def test_host_projection_auto_resolution():
+    from efficientlo_net_tpu.config import TrainConfig
+    from efficientlo_net_tpu.data import native_io
+
+    assert TrainConfig(host_projection=True).resolved_host_projection() is True
+    assert TrainConfig(host_projection=False).resolved_host_projection() is False
+    assert (
+        TrainConfig(host_projection=None).resolved_host_projection()
+        == native_io.available()
+    )
