@@ -65,6 +65,73 @@ CHILD = textwrap.dedent(
 )
 
 
+TRAIN_CHILD = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    # 2 local devices per process -> a 4-device global "data" mesh whose
+    # gradient all-reduce crosses the process (DCN/Gloo) boundary
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2 and jax.device_count() == 4
+    assert len(jax.local_devices()) == 2
+
+    import numpy as np
+    import jax.numpy as jnp
+    from efficientlo_net_tpu.config import TrainConfig, tiny_model_config
+    from efficientlo_net_tpu.data.synthetic import synthetic_batch
+    from efficientlo_net_tpu.models.pwclo import PWCLONet
+    from efficientlo_net_tpu.parallel.data_parallel import make_sharded_train_step
+    from efficientlo_net_tpu.parallel.mesh import (
+        batch_sharding, make_mesh, replicated)
+    from efficientlo_net_tpu.training.state import create_train_state
+
+    # identical config/data/seed as the parent's single-device reference
+    CFG = tiny_model_config()
+    TCFG = TrainConfig(batch_size=2)
+    model = PWCLONet(CFG)
+    batch = synthetic_batch(np.random.default_rng(1), 4, CFG.sensor,
+                            training=False)
+
+    state = create_train_state(model, CFG, TCFG, jax.random.key(0))
+    host_state = jax.device_get(state)
+
+    mesh = make_mesh()
+    rep = replicated(mesh)
+    bshard = batch_sharding(mesh)
+
+    # globalize: this process owns batch rows [2*pid : 2*pid+2]
+    gbatch = {
+        k: jax.make_array_from_process_local_data(bshard, v[2 * pid:2 * pid + 2])
+        for k, v in batch.items()
+    }
+    gstate = jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        host_state,
+    )
+    key_data = np.asarray(jax.random.key_data(jax.random.key(9)))
+    grng = jax.random.wrap_key_data(
+        jax.make_array_from_process_local_data(rep, key_data)
+    )
+
+    dp_step = make_sharded_train_step(model, CFG, TCFG, mesh)
+    gstate, metrics = dp_step(gstate, gbatch, grng)
+    loss = float(np.asarray(metrics["loss"]))
+    assert np.isfinite(loss)
+    assert int(np.asarray(gstate.step)) == 1
+    print(f"DP_LOSS {loss!r}", flush=True)
+    print(f"CHILD {pid} OK", flush=True)
+    jax.distributed.shutdown()
+    """
+)
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -73,19 +140,23 @@ def _free_port() -> int:
     return port
 
 
-def _run_children(child, ckpt_dir, repo):
+def _spawn_children(child, args, repo):
     env = dict(os.environ)
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     port = str(_free_port())
-    procs = [
+    return [
         subprocess.Popen(
-            [sys.executable, str(child), str(i), port, ckpt_dir],
+            [sys.executable, str(child), str(i), port, *args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             cwd=repo, text=True,
         )
         for i in range(2)
     ]
-    return [p.communicate(timeout=600)[0] for p in procs]
+
+
+def _run_children(child, ckpt_dir, repo, timeout=600):
+    procs = _spawn_children(child, [ckpt_dir], repo)
+    return [p.communicate(timeout=timeout)[0] for p in procs]
 
 
 def test_two_process_checkpointing(tmp_path):
@@ -97,6 +168,7 @@ def test_two_process_checkpointing(tmp_path):
     outs = _run_children(child, ckpt_dir, repo)
     if not all(f"CHILD {i} OK" in out for i, out in enumerate(outs)) and any(
         "BarrierError" in out or "CoordinationServiceError" in out
+        or "DEADLINE_EXCEEDED" in out
         for out in outs
     ):
         # coordination barriers carry fixed wall-clock timeouts; on this
@@ -118,3 +190,62 @@ def test_two_process_checkpointing(tmp_path):
         assert json.load(f) == {"val_t_rel": 2.0, "step": 7}
     metas = [f for f in os.listdir(ckpt_dir) if f.startswith("meta_")]
     assert metas == ["meta_7.json"]
+
+
+def test_two_process_sharded_train_step(tmp_path):
+    """make_sharded_train_step under a REAL 2-process jax.distributed run
+    (2 x 2 local CPU devices): the gradient/BN all-reduce crosses the
+    process boundary, and the loss must match the single-process step on
+    the full batch (VERDICT r2 item 6 — the DCN code path)."""
+    child = tmp_path / "train_child.py"
+    child.write_text(TRAIN_CHILD)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    procs = _spawn_children(child, [], repo)
+
+    # single-device reference on the full batch, computed while the children
+    # run (program/caches shared with test_data_parallel_matches_single_device)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from efficientlo_net_tpu.config import TrainConfig, tiny_model_config
+    from efficientlo_net_tpu.data.synthetic import synthetic_batch
+    from efficientlo_net_tpu.models.pwclo import PWCLONet
+    from efficientlo_net_tpu.training.state import create_train_state
+    from efficientlo_net_tpu.training.step import make_train_step
+
+    cfg = tiny_model_config()
+    tcfg = TrainConfig(batch_size=2)
+    model = PWCLONet(cfg)
+    batch = synthetic_batch(np.random.default_rng(1), 4, cfg.sensor,
+                            training=False)
+    sstate = create_train_state(model, cfg, tcfg, jax.random.key(0))
+    sstep = jax.jit(make_train_step(model, cfg, tcfg))
+    _, smetrics = sstep(sstate, {k: jnp.asarray(v) for k, v in batch.items()},
+                        jax.random.key(9))
+    ref_loss = float(smetrics["loss"])
+
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # retryable coordination failures under CPU contention: coordination
+    # barriers AND the Gloo rendezvous carry fixed 30 s wall-clock deadlines
+    # that a pytest-xdist compile storm on 4 cores can starve a child past
+    retryable = ("BarrierError", "CoordinationServiceError",
+                 "DEADLINE_EXCEEDED", "Gloo context initialization failed")
+    if not all(f"CHILD {i} OK" in out for i, out in enumerate(outs)) and any(
+        any(pat in out for pat in retryable) for out in outs
+    ):
+        procs = _spawn_children(child, [], repo)
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+
+    dp_losses = []
+    for i, out in enumerate(outs):
+        assert f"CHILD {i} OK" in out, f"child {i} failed:\n{out[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("DP_LOSS ")]
+        dp_losses.append(float(line[0].split()[1]))
+
+    # both processes observed the same replicated loss
+    assert dp_losses[0] == dp_losses[1]
+    # and it matches the single-process full-batch step up to cross-device
+    # reduction rounding (same tolerance as the single-process mesh test)
+    np.testing.assert_allclose(dp_losses[0], ref_loss, rtol=2e-4)
