@@ -1,14 +1,17 @@
 """Measure W-axis ring sharding on the virtual CPU mesh (VERDICT r2 item 7).
 
 Times the full-res level-0 select+group (9x15 window, K=32, stride (4,8),
-W=1800) and the full forward, ring-sharded at R in {2, 4} vs replicated,
+W=1800) and the full forward, ring-sharded at R in {3, 5} vs replicated
+(the l0 center grid is 225 columns wide, so valid full-res ring sizes are
+divisors of 225 — {3, 5, 9, 15, ...}; R=2/4 split W=1800 but not the
+center grid, and the guard rejects them by design),
 on `--xla_force_host_platform_device_count` CPU devices.  CPU wall-clock is
 a *work-split* proxy only (virtual devices share 4 cores and ppermute is a
 memcpy, not ICI), so the table pairs each measurement with the analytic
 halo overhead (extra columns processed) and the ICI bytes per exchange that
 a real TPU ring would pay.
 
-Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
+Usage: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=5 \
            python tools/ring_bench.py [--json]
 """
 
@@ -26,7 +29,7 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", ""):
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=4"
+        + " --xla_force_host_platform_device_count=5"
     ).strip()
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache_cpu")
@@ -80,7 +83,6 @@ def main():
     base = jax.jit(
         lambda x, f: N.select_and_group(
             x, f, kernel, k, dist, center_stride=cstride, mode=N.FIRST_K,
-            impl="fast",
         )
     )
     dt0 = timed(base, p1, feats)
@@ -88,7 +90,7 @@ def main():
     print(f"level-0 select+group replicated: {1e3 * dt0:.2f} ms", flush=True)
 
     devices = jax.devices()
-    for r in (2, 4):
+    for r in (3, 5):
         if len(devices) < r:
             print(f"R={r}: not enough devices, skipping")
             continue
@@ -135,7 +137,7 @@ def main():
     RESULTS["forward_replicated_ms"] = round(1e3 * dtf, 2)
     print(f"full forward replicated: {1e3 * dtf:.2f} ms", flush=True)
 
-    for r in (2, 4):
+    for r in (3, 5):
         if len(devices) < r:
             continue
         mesh = Mesh(np.array(devices[:r]).reshape(1, r), ("data", "ring"))
