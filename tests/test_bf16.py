@@ -20,13 +20,15 @@ def test_bf16_forward_close_to_f32():
     p1, _ = project_to_range_image(jnp.asarray(pc1), None, h, w, CFG32.sensor)
     p2, _ = project_to_range_image(jnp.asarray(pc2), None, h, w, CFG32.sensor)
 
+    from tests.test_model import jit_eval_apply, jit_init
+
     m32, m16 = PWCLONet(CFG32), PWCLONet(CFG16)
     rngs = {"params": jax.random.key(0), "neighbor": jax.random.key(1),
             "dropout": jax.random.key(2)}
-    v32 = m32.init(rngs, p1, p2, training=False)
-    out32 = m32.apply(v32, p1, p2, training=False)
+    v32 = jit_init(m32)(rngs, p1, p2, training=False)
+    out32 = jit_eval_apply(m32)(v32, p1, p2)
     # same params work for the bf16 model (params stay f32; compute is bf16)
-    out16 = m16.apply(v32, p1, p2, training=False)
+    out16 = jit_eval_apply(m16)(v32, p1, p2)
 
     for q32, q16, t32, t16 in zip(out32["q"], out16["q"], out32["t"], out16["t"]):
         assert q16.dtype == jnp.float32  # heads stay f32

@@ -38,6 +38,17 @@ def make_batch(rng, b=2):
     return pc1, pc2, T_gt
 
 
+def jit_init(model):
+    """Jitted model.init — one cached compile instead of thousands of eager
+    CPU dispatches (the suite is eager-dispatch-dominated otherwise; the
+    persistent compile cache shares the program across tests and runs)."""
+    return jax.jit(model.init, static_argnames=("training",))
+
+
+def jit_eval_apply(model):
+    return jax.jit(lambda v, a, b: model.apply(v, a, b, training=False))
+
+
 @pytest.fixture(scope="module")
 def model_and_vars():
     rng = np.random.default_rng(0)
@@ -46,7 +57,7 @@ def model_and_vars():
     p1, _ = project_to_range_image(jnp.asarray(pc1), None, h, w, CFG.sensor)
     p2, _ = project_to_range_image(jnp.asarray(pc2), None, h, w, CFG.sensor)
     model = PWCLONet(CFG)
-    variables = model.init(
+    variables = jit_init(model)(
         {"params": jax.random.key(0), "neighbor": jax.random.key(1),
          "dropout": jax.random.key(2)},
         p1, p2, training=False,
@@ -56,7 +67,7 @@ def model_and_vars():
 
 def test_forward_shapes(model_and_vars):
     model, variables, p1, p2 = model_and_vars
-    out = model.apply(variables, p1, p2, training=False)
+    out = jit_eval_apply(model)(variables, p1, p2)
     assert len(out["q"]) == 4 and len(out["t"]) == 4
     for q, t in zip(out["q"], out["t"]):
         assert q.shape == (2, 4)
@@ -70,11 +81,13 @@ def test_forward_shapes(model_and_vars):
 
 def test_train_mode_mutates_batch_stats(model_and_vars):
     model, variables, p1, p2 = model_and_vars
-    out, updates = model.apply(
-        variables, p1, p2, training=True, bn_momentum=0.9, stochastic=True,
-        rngs={"neighbor": jax.random.key(3), "dropout": jax.random.key(4)},
-        mutable=["batch_stats"],
-    )
+    out, updates = jax.jit(
+        lambda v, a, b: model.apply(
+            v, a, b, training=True, bn_momentum=0.9, stochastic=True,
+            rngs={"neighbor": jax.random.key(3), "dropout": jax.random.key(4)},
+            mutable=["batch_stats"],
+        )
+    )(variables, p1, p2)
     assert "batch_stats" in updates
     # running stats must actually move
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
@@ -101,7 +114,7 @@ def test_loss_and_grads_finite(model_and_vars):
         loss, _ = total_loss(out, q_gt, t_gt, 0.0, -2.5)
         return loss
 
-    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
     assert np.isfinite(float(loss))
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)

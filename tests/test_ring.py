@@ -163,14 +163,18 @@ def test_model_forward_with_ring_mesh_matches_unsharded():
     p2, _ = project_to_range_image(
         jnp.asarray(scans[1][None]), None, h, w, cfg.sensor
     )
-    variables = model.init(
+    from tests.test_model import jit_eval_apply, jit_init
+
+    variables = jit_init(model)(
         {"params": jax.random.key(0), "neighbor": jax.random.key(1),
          "dropout": jax.random.key(2)},
         p1, p2, training=False,
     )
-    out_ref = model.apply(variables, p1, p2, training=False)
+    out_ref = jit_eval_apply(model)(variables, p1, p2)
     mesh = ring_mesh(2, 4)
-    out_ring = model.apply(variables, p1, p2, training=False, ring_mesh=mesh)
+    out_ring = jax.jit(
+        lambda v, a, b: model.apply(v, a, b, training=False, ring_mesh=mesh)
+    )(variables, p1, p2)
     for lvl in range(4):
         np.testing.assert_allclose(
             np.asarray(out_ring["q"][lvl]), np.asarray(out_ref["q"][lvl]),
