@@ -38,6 +38,37 @@ def random_se3(rng: np.random.Generator) -> np.ndarray:
     return T.astype(np.float32)
 
 
+_MIRROR4 = np.diag([1.0, -1.0, 1.0, 1.0]).astype(np.float32)
+
+
+def mirror_batch(batch: dict, rng: np.random.Generator) -> dict:
+    """Reflect ~half the samples across the x-z plane (y -> -y), conjugating
+    the ground truth: ``T' = M T M`` (R' = M R M, t' = M t), which preserves
+    the pair alignment invariant exactly (pc2' = R' pc1' + t').
+
+    Driving data is left/right asymmetric per sequence (a loop drive turns
+    one way for its entire length), which biases the learned yaw prior: the
+    globally loss-optimal prediction on ambiguous straight segments is a
+    slight turn toward the dataset's dominant direction (+0.05 deg/pair
+    measured at convergence — ~57 deg of heading drift over an 1100-frame
+    drive, docs/accuracy_diagnosis.json).  Reflection makes the yaw
+    distribution exactly symmetric for any data.  The reference has no
+    counterpart (main.py:259-297 perturbs but never reflects).
+    """
+    pc1, pc2, T_gt = batch["pc1"], batch["pc2"], batch["T_gt"]
+    flip = rng.random(len(pc1)) < 0.5
+    if not np.any(flip):
+        return batch
+    sign = np.where(flip, -1.0, 1.0).astype(pc1.dtype)
+    pc1 = pc1.copy()
+    pc2 = pc2.copy()
+    pc1[..., 1] *= sign[:, None]
+    pc2[..., 1] *= sign[:, None]
+    T_gt = T_gt.copy()
+    T_gt[flip] = _MIRROR4 @ T_gt[flip] @ _MIRROR4
+    return dict(batch, pc1=pc1, pc2=pc2, T_gt=T_gt.astype(np.float32))
+
+
 def augmentation_batch(rng: np.random.Generator, batch_size: int, training: bool):
     """Returns (T_trans, T_trans_inv, aug_frame) arrays for a batch."""
     if not training:

@@ -14,7 +14,7 @@ from typing import Iterator, Sequence
 
 import numpy as np
 
-from .augmentation import augmentation_batch
+from .augmentation import augmentation_batch, mirror_batch
 from .kitti import OdometryDataset
 
 
@@ -41,7 +41,7 @@ def make_batch(dataset: OdometryDataset, indices: Sequence[int], rng, training: 
         pc2.append(b)
         T_gt.append(T)
     T_trans, T_trans_inv, aug_frame = augmentation_batch(rng, len(indices), training)
-    return {
+    batch = {
         "pc1": np.stack(pc1),
         "pc2": np.stack(pc2),
         "T_gt": np.stack(T_gt),
@@ -49,6 +49,12 @@ def make_batch(dataset: OdometryDataset, indices: Sequence[int], rng, training: 
         "T_trans_inv": T_trans_inv,
         "aug_frame": aug_frame,
     }
+    if training:
+        # y-reflection augmentation: upstream of BOTH input pipelines (the
+        # device-projected step and the host-projected workers see the same
+        # mirrored samples), so pipeline-parity tests stay exact
+        batch = mirror_batch(batch, rng)
+    return batch
 
 
 def device_prefetch(iterator, prepare, depth: int = 2):

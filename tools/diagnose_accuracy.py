@@ -117,6 +117,7 @@ def main():
     targs = argparse.Namespace(
         root=args.root, gt_dir=args.gt_dir, log_dir=args.log_dir,
         batch=args.batch, host_projection=True, quantized_transfer=True,
+        lr_decay_step=50000, lr_decay_rate=0.7, bn_decay_step=50000,
     )
     trainer = sd._trainer(targs)
     trainer.restore()
