@@ -42,6 +42,35 @@ KNN = "knn"
 
 _VALID_EPS = 1e-10
 
+_ON_TPU: Optional[bool] = None
+
+
+def _on_tpu() -> bool:
+    """True when the default JAX backend drives TPU hardware.
+
+    ``jax.default_backend()`` reports the PJRT plugin name, which is not
+    always the literal ``"tpu"``: tunnel plugins (e.g. ``"axon"``) drive a
+    real TPU chip under a different name, and dispatching on the plugin name
+    alone would silently route production traffic to the XLA fallback path.
+    Known-software backends are rejected by name; anything else is probed via
+    ``device_kind`` (e.g. ``"TPU v5 lite"``).  The probe touches the already-
+    initialised backend only (cheap) and is cached for the process lifetime.
+    """
+    global _ON_TPU
+    if _ON_TPU is None:
+        backend = jax.default_backend()
+        if backend == "tpu":
+            _ON_TPU = True
+        elif backend in ("cpu", "gpu", "cuda", "rocm", "metal"):
+            _ON_TPU = False
+        else:
+            try:
+                kind = jax.devices()[0].device_kind
+            except Exception:  # pragma: no cover - backend init failure
+                kind = ""
+            _ON_TPU = "tpu" in kind.lower()
+    return _ON_TPU
+
 
 def window_offsets(kernel_h: int, kernel_w: int) -> np.ndarray:
     """(T, 2) window offsets in kernel raster order, matching the CUDA
@@ -329,9 +358,7 @@ def select_neighbors(
     if impl == "auto":
         # the fused Pallas kernel is the fastest path on TPU; the XLA
         # formulation serves CPU (tests) and remains the correctness oracle
-        import jax as _jax
-
-        impl = "pallas" if _jax.default_backend() == "tpu" else "fast"
+        impl = "pallas" if _on_tpu() else "fast"
     if impl == "pallas":
         from .pallas_select import pallas_window_select
 
@@ -429,11 +456,10 @@ def select_and_group(
     Training uses select + gather so feature gradients flow into the source
     image exactly like the reference's ``tf.gather_nd``.
     """
-    import jax as _jax
     import os as _os
 
     if (
-        _jax.default_backend() == "tpu"
+        _on_tpu()
         and _os.environ.get("ELO_NEIGHBOR_IMPL", "auto") in ("auto", "pallas")
     ):
         from .pallas_select import pallas_select_and_group, pallas_window_select

@@ -197,3 +197,26 @@ def test_gather_by_index():
         for n in range(6):
             for k in range(3):
                 np.testing.assert_array_equal(out[b, n, k], flat[b, idx[b, n, k]])
+
+
+def test_on_tpu_detection(monkeypatch):
+    """Plugin-name dispatch: literal backends decide by name; unknown plugin
+    names (e.g. a TPU tunnel reporting "axon") fall through to device_kind."""
+
+    class _Dev:
+        def __init__(self, kind):
+            self.device_kind = kind
+
+    def probe(backend, kind):
+        monkeypatch.setattr(N, "_ON_TPU", None)
+        monkeypatch.setattr(N.jax, "default_backend", lambda: backend)
+        monkeypatch.setattr(N.jax, "devices", lambda: [_Dev(kind)])
+        return N._on_tpu()
+
+    assert probe("tpu", "anything") is True
+    assert probe("cpu", "TPU v5 lite") is False  # name wins for known SW
+    assert probe("axon", "TPU v5 lite") is True  # tunnel plugin -> probe kind
+    assert probe("axon", "Fancy Accelerator") is False
+    # cached after first real call
+    monkeypatch.setattr(N, "_ON_TPU", None)
+    assert N._on_tpu() is False  # conftest pins JAX_PLATFORMS=cpu
