@@ -145,7 +145,12 @@ def _trainer(args):
 def stage_train(args):
     trainer = _trainer(args)
     if args.resume:
-        trainer.restore()
+        # resume-if-possible: the chunked driver (tools/long_train.py) always
+        # passes --resume, including for the very first chunk of a fresh run
+        try:
+            trainer.restore()
+        except FileNotFoundError:
+            print("no checkpoint yet — starting from scratch", flush=True)
     t0 = time.time()
     for epoch in range(trainer.start_epoch, args.epochs):
         loss = trainer.train_one_epoch(epoch)
