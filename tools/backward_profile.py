@@ -29,7 +29,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# the axon client reports ~0s compile times (server-side compile), so any
+# positive threshold silently disables persistence on the tunnel backend
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 PEAK_HBM_BPS = 819e9
 PEAK_F32_FLOPS = 197e12 / 4.0
