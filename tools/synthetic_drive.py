@@ -209,6 +209,9 @@ def stage_slam(args, trainer=None):
     if trainer is None:
         trainer = _trainer(args)
         trainer.restore()
+        slam_epochs = trainer.start_epoch
+    else:
+        slam_epochs = args.epochs
     variables = {
         "params": jax.device_get(trainer.state.params),
         "batch_stats": jax.device_get(trainer.state.batch_stats),
@@ -328,6 +331,7 @@ def stage_slam(args, trainer=None):
         "keyframes": int(len(slam.kf_poses)),
         "loop_closures": closures,
         "scan_factors": bool(args.scan_factors),
+        "slam_trained_epochs": int(slam_epochs),
         "map_points": int(len(map_pts)),
         "map_median_dist_m": map_err,
     }
@@ -494,10 +498,14 @@ def _write_md(data: dict):
             lines += ["", "![learning curve](synthetic_drive_curve.png)"]
     if "keyframes" in data:
         lines.append("")
+        ckpt_txt = (
+            f" (checkpoint: {data['slam_trained_epochs']}-epoch model)"
+            if "slam_trained_epochs" in data else ""
+        )
         lines.append(
             f"SLAM: {data['keyframes']} keyframes, "
             f"loop closures: {data.get('loop_closures')}, "
-            f"scan factors: {data.get('scan_factors')}."
+            f"scan factors: {data.get('scan_factors')}{ckpt_txt}."
         )
         if data.get("map_points"):
             err = data.get("map_median_dist_m")
