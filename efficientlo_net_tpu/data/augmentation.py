@@ -41,7 +41,8 @@ def random_se3(rng: np.random.Generator) -> np.ndarray:
 _MIRROR4 = np.diag([1.0, -1.0, 1.0, 1.0]).astype(np.float32)
 
 
-def mirror_batch(batch: dict, rng: np.random.Generator) -> dict:
+def mirror_batch(batch: dict, rng: np.random.Generator,
+                 clouds: bool = True) -> dict:
     """Reflect ~half the samples across the x-z plane (y -> -y), conjugating
     the ground truth: ``T' = M T M`` (R' = M R M, t' = M t), which preserves
     the pair alignment invariant exactly (pc2' = R' pc1' + t').
@@ -54,18 +55,27 @@ def mirror_batch(batch: dict, rng: np.random.Generator) -> dict:
     drive, docs/accuracy_diagnosis.json).  Reflection makes the yaw
     distribution exactly symmetric for any data.  The reference has no
     counterpart (main.py:259-297 perturbs but never reflects).
+
+    With ``clouds=False`` the (B, N, 3) arrays are left untouched and the
+    per-sample reflection sign is returned as ``batch["mirror_sign"]``
+    instead — the host-projected loader path folds the reflection into the
+    fused native crop+augment+project pass (native_io) and never copies the
+    clouds in Python.  The RNG draw is identical in both modes, so the two
+    pipelines see the same mirrored sample stream.
     """
     pc1, pc2, T_gt = batch["pc1"], batch["pc2"], batch["T_gt"]
     flip = rng.random(len(pc1)) < 0.5
     if not np.any(flip):
         return batch
     sign = np.where(flip, -1.0, 1.0).astype(pc1.dtype)
+    T_gt = T_gt.copy()
+    T_gt[flip] = _MIRROR4 @ T_gt[flip] @ _MIRROR4
+    if not clouds:
+        return dict(batch, T_gt=T_gt.astype(np.float32), mirror_sign=sign)
     pc1 = pc1.copy()
     pc2 = pc2.copy()
     pc1[..., 1] *= sign[:, None]
     pc2[..., 1] *= sign[:, None]
-    T_gt = T_gt.copy()
-    T_gt[flip] = _MIRROR4 @ T_gt[flip] @ _MIRROR4
     return dict(batch, pc1=pc1, pc2=pc2, T_gt=T_gt.astype(np.float32))
 
 

@@ -79,12 +79,49 @@ def augment_project_batch(
     augmentation matrices).  Output replaces the clouds with dense projected
     range images ``p1``/``p2`` (B, H, W, 3); GT/augmentation fields pass
     through for the device-side ``gt_quat``.
+
+    With the ABI-3 native library the whole crop -> perturb -> project
+    chain runs as one fused streaming pass per cloud
+    (``native_io.augment_project_batch_native``): the numpy twin's ~15
+    (B, N, 3) temporaries per batch measured 560 ms on the 4-CPU loader
+    host — 5x the projection itself — and bound the training input
+    pipeline; fused, the same batch costs ~30 ms.
     """
+    h, w = sensor.height, sensor.width
+    # optional deferred y-reflection (mirror_batch(clouds=False)): the sign
+    # applies to the clouds only — T_gt was already conjugated upstream
+    sign = batch.get("mirror_sign")
+    if native_io.fused_available():
+        # aug_frame is 1 (perturb frame 1) or 2 (perturb frame 2) — the
+        # reference's convention (model_util.py aug_frame in {1, 2});
+        # crop_and_augment transforms pc2 exactly when aug_frame != 1
+        aug = np.asarray(batch["aug_frame"])
+        p1 = native_io.augment_project_batch_native(
+            batch["pc1"], batch["T_trans"], aug == 1, h, w, sensor,
+            ysign=sign, num_threads=2 * num_threads,
+        )
+        p2 = native_io.augment_project_batch_native(
+            batch["pc2"], batch["T_trans"], aug != 1, h, w, sensor,
+            ysign=sign, num_threads=2 * num_threads,
+        )
+        return {
+            "p1": p1,
+            "p2": p2,
+            "T_gt": batch["T_gt"],
+            "T_trans": batch["T_trans"],
+            "T_trans_inv": batch["T_trans_inv"],
+            "aug_frame": batch["aug_frame"],
+        }
+    pc1_raw, pc2_raw = batch["pc1"], batch["pc2"]
+    if sign is not None:
+        pc1_raw = pc1_raw.copy()
+        pc2_raw = pc2_raw.copy()
+        pc1_raw[..., 1] *= sign[:, None]
+        pc2_raw[..., 1] *= sign[:, None]
     pc1, pc2 = crop_and_augment(
-        batch["pc1"], batch["pc2"], batch["T_trans"], batch["aug_frame"],
+        pc1_raw, pc2_raw, batch["T_trans"], batch["aug_frame"],
         max_planar_radius=sensor.max_planar_radius,
     )
-    h, w = sensor.height, sensor.width
     p1 = native_io.project_batch(pc1, h, w, sensor, num_threads=num_threads)
     p2 = native_io.project_batch(pc2, h, w, sensor, num_threads=num_threads)
     return {

@@ -33,7 +33,8 @@ def quantize_points(x: np.ndarray) -> np.ndarray:
     ).astype(np.int16)
 
 
-def make_batch(dataset: OdometryDataset, indices: Sequence[int], rng, training: bool):
+def make_batch(dataset: OdometryDataset, indices: Sequence[int], rng,
+               training: bool, mirror_clouds: bool = True):
     pc1, pc2, T_gt = [], [], []
     for i in indices:
         a, b, T = dataset[int(i)]
@@ -52,8 +53,10 @@ def make_batch(dataset: OdometryDataset, indices: Sequence[int], rng, training: 
     if training:
         # y-reflection augmentation: upstream of BOTH input pipelines (the
         # device-projected step and the host-projected workers see the same
-        # mirrored samples), so pipeline-parity tests stay exact
-        batch = mirror_batch(batch, rng)
+        # mirrored samples), so pipeline-parity tests stay exact.  The
+        # host-projected path defers the cloud reflection to the fused
+        # native pass (mirror_clouds=False -> batch["mirror_sign"])
+        batch = mirror_batch(batch, rng, clouds=mirror_clouds)
     return batch
 
 
@@ -136,8 +139,10 @@ class PrefetchLoader:
                 except queue.Empty:
                     return
                 brng = np.random.default_rng([self.seed, epoch, bi])
-                batch = make_batch(self.dataset, idxs, brng, self.training)
-                if self.host_projection_sensor is not None:
+                host_proj = self.host_projection_sensor is not None
+                batch = make_batch(self.dataset, idxs, brng, self.training,
+                                   mirror_clouds=not host_proj)
+                if host_proj:
                     from .host_preprocess import augment_project_batch
 
                     batch = augment_project_batch(

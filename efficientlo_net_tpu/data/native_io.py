@@ -82,7 +82,26 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int32,
             ]
             lib.elo_abi_version.restype = ctypes.c_int32
-            if lib.elo_abi_version() == 2:
+            abi = lib.elo_abi_version()
+            if abi >= 3:
+                # fused crop+augment+project (ABI 3+)
+                lib.elo_augment_project_batch.restype = None
+                lib.elo_augment_project_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int64,
+                    ctypes.c_int64,
+                    ctypes.c_float,
+                    ctypes.POINTER(ctypes.c_float),
+                    ctypes.c_int32,
+                    ctypes.c_int32,
+                    ctypes.c_float,
+                    ctypes.c_float,
+                    ctypes.c_int32,
+                ]
+            if abi >= 2:
                 _lib = lib
                 return _lib
     return None
@@ -176,6 +195,63 @@ def project_scan(
     return project_batch(
         points[None], height, width, sensor, crop_radius, num_threads
     )[0]
+
+
+def fused_available() -> bool:
+    """True when the library carries the ABI-3 fused crop+augment+project."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "elo_augment_project_batch")
+
+
+def augment_project_batch_native(
+    points: np.ndarray,
+    T: np.ndarray,
+    apply: np.ndarray,
+    height: int,
+    width: int,
+    sensor,
+    ysign: Optional[np.ndarray] = None,
+    num_threads: int = 4,
+) -> np.ndarray:
+    """Fused mirror -> crop -> SE(3) perturbation -> projection for one
+    frame of a training batch: (B, N, 3) raw clouds -> (B, H, W, 3) dense
+    images in a single native streaming pass (no intermediate clouds).
+
+    ``T`` is the (B, 4, 4) perturbation, ``apply`` a (B,) bool/uint8 mask of
+    which clouds receive it (host_preprocess aug_frame semantics); ``ysign``
+    an optional (B,) +1/-1 x-z reflection applied before the perturbation
+    (augmentation.mirror_batch semantics); the planar crop uses
+    ``sensor.max_planar_radius`` on the pre-transform coordinates, matching
+    ``mirror_batch`` + ``crop_and_augment`` + ``project_batch`` exactly.
+    Requires ``fused_available()``; callers fall back to the two-pass path.
+    """
+    import math
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "elo_augment_project_batch"):
+        raise RuntimeError("fused native op unavailable (need ABI >= 3)")
+    points = np.ascontiguousarray(points, dtype=np.float32)
+    T = np.ascontiguousarray(T, dtype=np.float32)
+    apply = np.ascontiguousarray(apply, dtype=np.uint8)
+    b, n = points.shape[0], points.shape[1]
+    up = math.radians(sensor.vertical_fov_up_deg)
+    down = math.radians(sensor.vertical_fov_down_deg)
+    out = np.zeros((b, height, width, 3), dtype=np.float32)
+    if ysign is None:
+        ysign_p = ctypes.cast(None, ctypes.POINTER(ctypes.c_float))
+    else:
+        ysign = np.ascontiguousarray(ysign, dtype=np.float32)
+        ysign_p = ysign.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.elo_augment_project_batch(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        T.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        apply.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ysign_p,
+        b, n, float(sensor.max_planar_radius),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        height, width, up, down, num_threads,
+    )
+    return out
 
 
 def _project_scan_numpy(points, height, width, up, down, crop_radius):

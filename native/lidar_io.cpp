@@ -251,7 +251,122 @@ void elo_project_batch(const float* points, int64_t batch_size, int64_t n,
   for (auto& t : threads) t.join();
 }
 
+// Fused crop -> SE(3) perturbation -> projection for the host-projected
+// training path (data/host_preprocess.py).
+//
+// Semantics: one streaming pass per cloud replicating
+// crop_and_augment + elo_project_scan back-to-back —
+//   * validity: points with x==y==z==0 are padding and never scatter
+//     (crop_and_augment's `np.any(pc != 0)` mask);
+//   * planar crop on the ORIGINAL coordinates (reference model_util.py
+//     crops before the perturbation): drop when x^2+y^2 > radius^2;
+//   * if apply[b], transform by the row-major 4x4 T[b] in float32 with
+//     the same multiply/add association as the numpy einsum twin;
+//   * then the exact min-range / lowest-index projection of project_range
+//     with its r^2 <= 1e-10 guard on the TRANSFORMED point (a perturbed
+//     near-origin point projects exactly as in the two-pass pipeline).
+//
+// Rationale: the numpy twin materializes ~15 full (B, N, 3) temporaries
+// per batch (masks, norms, einsum, where) and measured 560 ms/batch on the
+// 4-CPU loader host — 5x the native projection itself and the training
+// input pipeline's bottleneck.  Fusing removes every intermediate: each
+// point is loaded once, transformed in registers, and scattered.
+namespace {
+
+void augment_project_one(const float* points, int64_t n, const float* T,
+                         bool apply, float ysign, float max_planar_radius,
+                         float* img, float* best_r, int32_t height,
+                         int32_t width, float vfov_up_rad,
+                         float vfov_down_rad) {
+  const float kPi = 3.14159265358979323846f;
+  const float az_res = 2.0f * kPi / static_cast<float>(width);
+  const float v_res =
+      (vfov_up_rad - vfov_down_rad) /
+      static_cast<float>(height > 1 ? height - 1 : 1);
+  const float v_off = -vfov_down_rad / v_res;
+  const float crop_sq = max_planar_radius * max_planar_radius;
+
+  for (int64_t i = 0; i < n; ++i) {
+    float x = points[i * 3 + 0];
+    float y = points[i * 3 + 1];
+    float z = points[i * 3 + 2];
+    if (x == 0.0f && y == 0.0f && z == 0.0f) continue;
+    if (x * x + y * y > crop_sq) continue;
+    y *= ysign;  // x-z plane reflection (augmentation.mirror_batch)
+    if (apply) {
+      const float xn = ((T[0] * x + T[1] * y) + T[2] * z) + T[3];
+      const float yn = ((T[4] * x + T[5] * y) + T[6] * z) + T[7];
+      const float zn = ((T[8] * x + T[9] * y) + T[10] * z) + T[11];
+      x = xn;
+      y = yn;
+      z = zn;
+    }
+    const float r_sq = x * x + y * y + z * z;
+    if (r_sq <= 1e-10f) continue;
+    const float r = std::sqrt(r_sq);
+
+    int32_t col = static_cast<int32_t>((kPi - std::atan2(y, x)) / az_res);
+    float sz = z / r;
+    sz = sz < -1.0f ? -1.0f : (sz > 1.0f ? 1.0f : sz);
+    const float beta = std::asin(sz);
+    int32_t row = height - static_cast<int32_t>(beta / v_res + v_off);
+    row = row < 0 ? 0 : (row >= height ? height - 1 : row);
+    col = col < 0 ? 0 : (col >= width ? width - 1 : col);
+
+    const int64_t pix = static_cast<int64_t>(row) * width + col;
+    if (r < best_r[pix]) {
+      best_r[pix] = r;
+      img[pix * 3 + 0] = x;
+      img[pix * 3 + 1] = y;
+      img[pix * 3 + 2] = z;
+    }
+  }
+}
+
+}  // namespace
+
+// points: [batch, n, 3] raw clouds; T: [batch, 16] row-major 4x4
+// perturbations; apply: [batch] whether this cloud is the perturbed frame;
+// ysign: [batch] +1/-1 per-cloud x-z reflection (mirror augmentation,
+// applied before the perturbation exactly like mirror_batch ->
+// crop_and_augment).  img: [batch, height, width, 3] (overwritten).
+// One thread per cloud (training batches exceed the host's core count).
+void elo_augment_project_batch(const float* points, const float* T,
+                               const uint8_t* apply, const float* ysign,
+                               int64_t batch_size,
+                               int64_t n, float max_planar_radius, float* img,
+                               int32_t height, int32_t width,
+                               float vfov_up_rad, float vfov_down_rad,
+                               int32_t num_threads) {
+  if (num_threads <= 0) num_threads = 4;
+  const int64_t num_pix = static_cast<int64_t>(height) * width;
+
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    std::vector<float> best_r(num_pix);
+    while (true) {
+      int64_t i = next.fetch_add(1);
+      if (i >= batch_size) return;
+      std::memset(img + i * num_pix * 3, 0, sizeof(float) * num_pix * 3);
+      std::fill(best_r.begin(), best_r.end(),
+                std::numeric_limits<float>::infinity());
+      augment_project_one(points + i * n * 3, n, T + i * 16,
+                          apply[i] != 0, ysign ? ysign[i] : 1.0f,
+                          max_planar_radius,
+                          img + i * num_pix * 3, best_r.data(), height,
+                          width, vfov_up_rad, vfov_down_rad);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  int32_t nt =
+      static_cast<int32_t>(std::min<int64_t>(num_threads, batch_size));
+  threads.reserve(nt);
+  for (int32_t t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+}
+
 // Library self-identification for load-time sanity checks.
-int32_t elo_abi_version() { return 2; }
+int32_t elo_abi_version() { return 3; }
 
 }  // extern "C"

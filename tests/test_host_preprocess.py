@@ -177,3 +177,75 @@ def test_loader_emits_projected_batches():
         assert b["p1"].shape == (2, h, w, 3)
         assert b["p2"].dtype == np.float32
         assert "pc1" not in b
+
+
+def test_fused_native_matches_two_pass_pipeline():
+    """The ABI-3 fused crop+augment+project (native/lidar_io.cpp
+    elo_augment_project_batch) must reproduce the two-pass pipeline
+    (crop_and_augment -> project_batch) on both frames, including samples
+    where the perturbation lands on frame 2 (aug_frame == 2)."""
+    from efficientlo_net_tpu.data import native_io
+
+    if not native_io.fused_available():
+        import pytest
+
+        pytest.skip("native library without the fused op")
+
+    batch = _raw_batch(seed=3, b=4)
+    # force both aug_frame branches to be exercised
+    batch["aug_frame"] = np.array([1, 2, 1, 2], dtype=batch["aug_frame"].dtype)
+    s = CFG.sensor
+    pc1, pc2 = crop_and_augment(
+        batch["pc1"], batch["pc2"], batch["T_trans"], batch["aug_frame"],
+        max_planar_radius=s.max_planar_radius,
+    )
+    from efficientlo_net_tpu.data.native_io import (
+        augment_project_batch_native, project_batch)
+
+    r1 = project_batch(pc1, s.height, s.width, s)
+    r2 = project_batch(pc2, s.height, s.width, s)
+    aug = np.asarray(batch["aug_frame"])
+    f1 = augment_project_batch_native(
+        batch["pc1"], batch["T_trans"], aug == 1, s.height, s.width, s)
+    f2 = augment_project_batch_native(
+        batch["pc2"], batch["T_trans"], aug != 1, s.height, s.width, s)
+    # bit-identical on this host; allow a pixel-edge ulp allowance in case
+    # another compiler contracts the transform's mul/adds differently
+    for ref, fused in ((r1, f1), (r2, f2)):
+        mismatch = np.any(ref != fused, axis=-1)
+        assert mismatch.mean() < 1e-3, f"{mismatch.sum()} pixels differ"
+
+
+def test_deferred_mirror_matches_cloud_mirror():
+    """mirror_batch(clouds=False) + the fused native ysign must produce the
+    same projected images as mirroring the clouds in numpy first (the
+    host-projected loader path vs the device-path sample stream)."""
+    from efficientlo_net_tpu.data.augmentation import mirror_batch
+    from efficientlo_net_tpu.data import native_io
+
+    batch = _raw_batch(seed=4, b=4)
+    batch["aug_frame"] = np.array([1, 2, 2, 1], dtype=batch["aug_frame"].dtype)
+
+    mirrored = mirror_batch(dict(batch), np.random.default_rng(11))
+    deferred = mirror_batch(dict(batch), np.random.default_rng(11),
+                            clouds=False)
+    np.testing.assert_array_equal(mirrored["T_gt"], deferred["T_gt"])
+    assert "mirror_sign" in deferred and (deferred["mirror_sign"] < 0).any()
+
+    ref = augment_project_batch(mirrored, CFG.sensor)
+    out = augment_project_batch(deferred, CFG.sensor)
+    for k in ("p1", "p2"):
+        mismatch = np.any(ref[k] != out[k], axis=-1)
+        assert mismatch.mean() < 1e-3, f"{k}: {mismatch.sum()} pixels differ"
+    assert "mirror_sign" not in out
+
+    if native_io.fused_available():
+        # the numpy fallback honors mirror_sign the same way
+        import unittest.mock as mock
+
+        with mock.patch.object(native_io, "fused_available",
+                               return_value=False):
+            fb = augment_project_batch(deferred, CFG.sensor)
+        for k in ("p1", "p2"):
+            mismatch = np.any(ref[k] != fb[k], axis=-1)
+            assert mismatch.mean() < 1e-3, f"fallback {k} differs"

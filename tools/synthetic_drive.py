@@ -172,7 +172,10 @@ def stage_eval(args, trainer=None):
         trainer.restore()
         trained_epochs = trainer.start_epoch
     else:
-        trained_epochs = args.epochs
+        # the chained --stage all path: if --resume restored a checkpoint
+        # already past args.epochs, the train loop ran zero epochs and the
+        # checkpoint's true budget is start_epoch, not the request
+        trained_epochs = max(trainer.start_epoch, args.epochs)
     params = jax.device_get(trainer.state.params)
     stats = jax.device_get(trainer.state.batch_stats)
     seqs = [EVAL_SEQ]
@@ -211,7 +214,8 @@ def stage_slam(args, trainer=None):
         trainer.restore()
         slam_epochs = trainer.start_epoch
     else:
-        slam_epochs = args.epochs
+        # see stage_eval: a resumed checkpoint may be past args.epochs
+        slam_epochs = max(trainer.start_epoch, args.epochs)
     variables = {
         "params": jax.device_get(trainer.state.params),
         "batch_stats": jax.device_get(trainer.state.batch_stats),
