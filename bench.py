@@ -149,11 +149,16 @@ def main():
     # --- train-step throughput (auditable next to inference; VERDICT r1) ---
     train_fps, train_ms = float("nan"), float("nan")
     proj_fps, proj_ms = float("nan"), float("nan")
+    loader_fps = float("nan")
     if os.environ.get("ELO_BENCH_TRAIN", "1") == "1":
         try:
             train_fps, train_ms, proj_fps, proj_ms = _bench_train(cfg, model)
         except Exception as e:  # never lose the primary metric
             print(f"train bench failed: {e!r}", file=sys.stderr)
+        try:
+            loader_fps = _bench_loader(cfg)
+        except Exception as e:
+            print(f"loader bench failed: {e!r}", file=sys.stderr)
 
     details = {
         "paired_fps": None if np.isnan(paired_fps) else round(paired_fps, 2),
@@ -166,6 +171,9 @@ def main():
             None if np.isnan(proj_fps) else round(proj_fps, 2),
         "train_step_host_projected_ms":
             None if np.isnan(proj_ms) else round(proj_ms, 2),
+        # input-pipeline ceiling for host-projected training (pairs/s the
+        # CPU loader sustains with the fused native pass, _bench_loader)
+        "loader_fps": None if np.isnan(loader_fps) else round(loader_fps, 2),
         "batch": BATCH,
         "device": jax.devices()[0].device_kind,
     }
@@ -255,6 +263,37 @@ def _bench_train(cfg, model):
         state_p, proj_batch,
     )
     return fps, ms, proj_fps, proj_ms
+
+
+def _bench_loader(cfg):
+    """Host-projected input-pipeline throughput (pairs/s) — pure host work:
+    PrefetchLoader workers run read-free in-memory sampling + the fused
+    native mirror/crop/augment/project pass at full 64x1800 resolution.
+    The training pipeline is loader-bound when this number is below the
+    device train fps, so it is the one to watch alongside train_fps."""
+    from efficientlo_net_tpu.data.loader import PrefetchLoader
+    from efficientlo_net_tpu.data.synthetic import synthetic_pair
+
+    rng = np.random.default_rng(3)
+    pairs = [synthetic_pair(rng, cfg.sensor) for _ in range(16)]
+
+    class _MemDataset:
+        def __getitem__(self, i):
+            a, b, T = pairs[i % len(pairs)]
+            return a, b, T
+
+    loader = PrefetchLoader(
+        _MemDataset(), np.arange(8 * BATCH), batch_size=BATCH,
+        training=True, num_workers=4,
+        host_projection_sensor=cfg.sensor,
+    )
+    for _ in loader.epoch(0):  # warm the workers / allocators
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for b in loader.epoch(1):
+        n += b["p1"].shape[0]
+    return n / (time.perf_counter() - t0)
 
 
 if __name__ == "__main__":

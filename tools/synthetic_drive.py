@@ -216,10 +216,12 @@ def stage_slam(args, trainer=None):
     else:
         # see stage_eval: a resumed checkpoint may be past args.epochs
         slam_epochs = max(trainer.start_epoch, args.epochs)
-    variables = {
-        "params": jax.device_get(trainer.state.params),
-        "batch_stats": jax.device_get(trainer.state.batch_stats),
-    }
+    # unwrap the train-state params ({"model", "w_x", "w_q"}) into the
+    # inference variables every apply surface expects — passing the wrapped
+    # tree raises ScopeParamNotFoundError at the first stream push
+    from efficientlo_net_tpu.pretrained import variables_from_train_state
+
+    variables = variables_from_train_state(trainer.state)
     stream = OdometryStream(trainer.model, variables, cfg)
 
     def closure_fn(img_j, img_i):
