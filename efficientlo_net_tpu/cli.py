@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="ship batches host->device as int16 (1.25 mm LSB, far below "
              "sensor noise): halves the transfer bandwidth",
     )
+    p.add_argument(
+        "--pretrained", default=None,
+        help="portable weight artifact (efficientlo_net_tpu.pretrained) to "
+             "load into the model — weights-only alternative to "
+             "--checkpoint_path (which restores full training state)",
+    )
     p.add_argument("--no_mesh", action="store_true", help="disable multi-device DP")
     p.add_argument(
         "--coordinator", default=None,
@@ -117,13 +123,15 @@ def main(argv=None) -> None:
         # restores state AND epoch metadata, so warm-started training
         # resumes at the right epoch instead of epoch 0
         trainer.restore(path=args.checkpoint_path)
+    if args.pretrained:
+        trainer.load_pretrained(args.pretrained)
 
     if args.mode == "train":
         trainer.fit()
     else:
-        if not args.checkpoint_path:
+        if not (args.checkpoint_path or args.pretrained):
             trainer.logger.log("warning: testing with random weights "
-                               "(no --checkpoint_path)")
+                               "(no --checkpoint_path / --pretrained)")
         from .evaluation.runner import evaluate_sequences
         import jax
 

@@ -130,6 +130,30 @@ class Trainer:
             f"(resuming at epoch {self.start_epoch})"
         )
 
+    def load_pretrained(self, path: str) -> dict:
+        """Load a portable weight artifact (``pretrained.load_pretrained``)
+        into the train state: the artifact's inference variables replace
+        the model params and batch_stats; optimizer state, step counter,
+        and the learned loss weights keep their current values (an artifact
+        carries no training state — use ``restore`` for exact resume).
+        Returns the artifact's metadata header."""
+        from ..pretrained import load_pretrained
+
+        variables, meta = load_pretrained(path)
+        params = dict(self.state.params)
+        params["model"] = variables["params"]
+        self.state = self.state.replace(
+            params=params,
+            batch_stats=variables.get("batch_stats",
+                                      self.state.batch_stats),
+        )
+        self.logger.log(
+            f"loaded pretrained artifact {path} "
+            f"(epochs={meta.get('trained_epochs')}, "
+            f"params={meta.get('param_count')})"
+        )
+        return meta
+
     def _device_batch(self, batch):
         if self.train_cfg.quantized_transfer:
             from ..data.loader import quantize_points

@@ -22,10 +22,10 @@ SEQ = 4  # shortest KITTI sequence: 271 frames
 N_FRAMES = SEQ_LENGTH_TABLE[SEQ + 1] - SEQ_LENGTH_TABLE[SEQ]
 
 
-@pytest.fixture(scope="module")
-def fake_kitti(tmp_path_factory):
-    """Build a miniature but structurally faithful KITTI tree for seq 04."""
-    root = tmp_path_factory.mktemp("kitti") / "dataset"
+def build_fake_kitti(base_dir):
+    """Build a miniature but structurally faithful KITTI tree for seq 04.
+    ``base_dir`` is a pathlib dir; returns (dataset_root, gt_dir) strings."""
+    root = base_dir / "dataset"
     seq_dir = root / "04"
     (seq_dir / "velodyne").mkdir(parents=True)
     gt_dir = root.parent / "ground_truth_pose"
@@ -69,6 +69,11 @@ def fake_kitti(tmp_path_factory):
     diffs = np.stack([d[:3, :].reshape(-1) for d in diffs])
     np.save(gt_dir / "kitti_T_diff" / "04_diff.npy", diffs)
     return str(root), str(gt_dir)
+
+
+@pytest.fixture(scope="module")
+def fake_kitti(tmp_path_factory):
+    return build_fake_kitti(tmp_path_factory.mktemp("kitti"))
 
 
 def test_dataset_geometry(fake_kitti):

@@ -75,3 +75,38 @@ def test_variables_from_train_state_unwraps_model():
     p = jax.numpy.zeros((1, h, w, 3))
     out = model.apply(v, p, p, training=False)
     assert np.all(np.isfinite(np.asarray(out["q"][0])))
+
+
+def test_trainer_load_pretrained(tmp_path):
+    """Trainer.load_pretrained swaps model params/batch_stats from an
+    artifact while keeping optimizer state and loss weights (the CLI
+    --pretrained surface)."""
+    import os
+    from efficientlo_net_tpu.config import TrainConfig
+    from efficientlo_net_tpu.pretrained import variables_from_train_state
+    from efficientlo_net_tpu.training.state import create_train_state
+    from efficientlo_net_tpu.training.trainer import Trainer
+    from tests.test_integration import build_fake_kitti
+
+    root, gt = build_fake_kitti(tmp_path)
+    model = PWCLONet(CFG)
+    donor = create_train_state(model, CFG, TrainConfig(batch_size=2),
+                               jax.random.key(42))
+    path = str(tmp_path / "donor.msgpack")
+    save_pretrained(path, variables_from_train_state(donor),
+                    meta={"trained_epochs": 9})
+
+    trainer = Trainer(CFG, TrainConfig(batch_size=2), data_root=root,
+                      log_dir=str(tmp_path / "log"), gt_dir=gt,
+                      train_list=[4], val_list=[4], use_mesh=False)
+    before_w_q = np.asarray(trainer.state.params["w_q"]).copy()
+    meta = trainer.load_pretrained(path)
+    assert meta["trained_epochs"] == 9
+    # model params now match the donor bitwise; loss weights untouched
+    donor_leaf = np.asarray(jax.tree_util.tree_leaves(
+        jax.device_get(donor.params["model"]))[0])
+    new_leaf = np.asarray(jax.tree_util.tree_leaves(
+        jax.device_get(trainer.state.params["model"]))[0])
+    np.testing.assert_array_equal(donor_leaf, new_leaf)
+    np.testing.assert_array_equal(
+        np.asarray(trainer.state.params["w_q"]), before_w_q)
