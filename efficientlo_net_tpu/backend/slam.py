@@ -126,7 +126,11 @@ class SlidingWindowSLAM:
     def add_frame(self, q: np.ndarray, t: np.ndarray, payload=None) -> None:
         """Feed one frame-to-frame odometry estimate (LiDAR convention of the
         network: transform of frame k relative to k-1).  ``payload`` is an
-        opaque handle (e.g. the scan) kept if this frame becomes a keyframe."""
+        opaque handle (e.g. the scan) kept if this frame becomes a keyframe.
+        A zero-arg callable payload is resolved only on keyframe promotion —
+        callers with expensive payload materialization (e.g. a device->host
+        fetch of the projected range image through a remote-TPU link) pay it
+        for the ~quarter of frames that become keyframes, not all of them."""
         rel = _mat_from_qt(q, t)
         self._frame_count += 1
         self._T_since_kf = self._T_since_kf @ rel
@@ -148,7 +152,8 @@ class SlidingWindowSLAM:
         self.factors.append((i, i + 1, self._T_since_kf.copy(), 1.0))
         self.kf_poses.append(self._current.copy())
         self.kf_frame_ids.append(self._frame_count)
-        self.kf_payloads.append(self._last_payload)
+        payload = self._last_payload
+        self.kf_payloads.append(payload() if callable(payload) else payload)
         self._T_since_kf = np.eye(4)
         self._kf_since_opt += 1
 

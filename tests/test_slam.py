@@ -249,3 +249,25 @@ def test_loop_closure_beyond_window():
     drift_off = np.linalg.norm(slam_off.kf_poses[-1][:3, 3] - gt[-1][:3, 3])
     drift_on = np.linalg.norm(slam_on.kf_poses[-1][:3, 3] - gt[-1][:3, 3])
     assert drift_on < drift_off * 0.6, (drift_on, drift_off)
+
+
+def test_lazy_payload_resolved_only_on_promotion():
+    """Callable payloads (e.g. a deferred device->host fetch of the range
+    image) must be materialized exactly when a frame becomes a keyframe and
+    never for intermediate frames."""
+    slam = SlidingWindowSLAM(
+        SlamConfig(keyframe_distance=2.0, optimize_every=1000))
+    calls = []
+
+    def make_payload(i):
+        def thunk():
+            calls.append(i)
+            return f"payload-{i}"
+        return thunk
+
+    q = np.array([1.0, 0, 0, 0])
+    for i in range(6):
+        # 0.5 m per frame: promotion every 4th frame (2.0 m threshold)
+        slam.add_frame(q, np.array([0.5, 0, 0]), payload=make_payload(i))
+    assert calls == [3]  # frame 3 crossed 2.0 m; later frames unresolved
+    assert slam.kf_payloads[1] == "payload-3"

@@ -262,13 +262,16 @@ def stage_slam(args, trainer=None):
     for i in range(n):
         scan = ds.read_scan(EVAL_SEQ, i)
         q, t = stream.push(scan)
-        # this frame's (H, W, 3) projection (keyframe payload for scan factors)
-        img = np.asarray(stream.last_projection)[0]
+        # this frame's (H, W, 3) projection (keyframe payload for scan
+        # factors) — as a lazy thunk, so the device->host fetch through the
+        # TPU tunnel happens only for frames promoted to keyframes
+        proj = stream.last_projection
+        img = lambda proj=proj: np.asarray(proj)[0]
         if i == 0:
             # frame 0 IS keyframe 0 — attach its payload without advancing
             # the frame counter (a dummy add_frame would shift kf_frame_ids
             # one past the raw_poses indexing)
-            slam.set_initial_payload(img)
+            slam.set_initial_payload(img())
             continue
         # the network's (q, t) is the relative transform of frame i w.r.t.
         # i-1 in the accumulation convention of integrate_sequence and
