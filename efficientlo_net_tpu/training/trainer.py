@@ -73,10 +73,16 @@ class Trainer:
             data_root, num_points=model_cfg.sensor.num_points, gt_pose_dir=self.gt_dir
         )
         self.model = PWCLONet(model_cfg)
+        import time as _time
+
+        _t0 = _time.time()
         self.state = create_train_state(
             self.model, model_cfg, train_cfg, jax.random.key(seed)
         )
+        _t1 = _time.time()
         self.ckpt = CheckpointManager(os.path.join(log_dir, "checkpoints"))
+        if _t1 - _t0 > 5.0:
+            self.logger.log(f"create_train_state took {_t1 - _t0:.1f}s")
 
         self.host_projection = train_cfg.resolved_host_projection()
         if use_mesh and len(jax.devices()) > 1:
@@ -120,7 +126,12 @@ class Trainer:
         mgr = self.ckpt if path is None else CheckpointManager(
             os.path.abspath(path)
         )
+        import time as _time
+
+        _t0 = _time.time()
         self.state = mgr.restore(self.state, step)
+        if _time.time() - _t0 > 5.0:
+            self.logger.log(f"checkpoint restore took {_time.time() - _t0:.1f}s")
         meta = mgr.metadata(step)
         saved_epoch = meta.get("epoch")
         if saved_epoch is not None:
