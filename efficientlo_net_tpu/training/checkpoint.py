@@ -89,12 +89,33 @@ class CheckpointManager:
         _barrier("ckpt_meta")
         return step
 
+    @staticmethod
+    def _restore_host(mgr, step: int, state: TrainState) -> TrainState:
+        """Restore onto HOST arrays: with a remote-TPU (axon) default
+        device, orbax otherwise materializes each of the ~1700 state leaves
+        on the device one by one — ~7 minutes of tunnel round trips per
+        process (measured; the CPU restore is seconds).  The first jitted
+        step ships the whole host pytree in one transfer instead.  Callers
+        that shard the state over a mesh re-place it afterwards
+        (Trainer.restore -> replicate_state)."""
+        target = jax.device_get(state)
+        try:
+            cpu = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None and jax.default_backend() != "cpu":
+            with jax.default_device(cpu):
+                restored = mgr.restore(
+                    step, args=ocp.args.StandardRestore(target)
+                )
+            return jax.device_get(restored)
+        return mgr.restore(step, args=ocp.args.StandardRestore(target))
+
     def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
-        target = jax.device_get(state)
-        return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return self._restore_host(self._mgr, step, state)
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -136,10 +157,7 @@ class CheckpointManager:
         back to the rotation step recorded in ``best.json``)."""
         step = self._best_mgr.latest_step()
         if step is not None:
-            target = jax.device_get(state)
-            return self._best_mgr.restore(
-                step, args=ocp.args.StandardRestore(target)
-            )
+            return self._restore_host(self._best_mgr, step, state)
         if os.path.exists(self._best_path):
             with open(self._best_path) as f:
                 return self.restore(state, json.load(f)["step"])

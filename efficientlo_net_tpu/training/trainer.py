@@ -130,6 +130,9 @@ class Trainer:
 
         _t0 = _time.time()
         self.state = mgr.restore(self.state, step)
+        if self.mesh is not None:
+            # the manager restores host arrays; re-place on the mesh
+            self.state = replicate_state(self.state, self.mesh)
         if _time.time() - _t0 > 5.0:
             self.logger.log(f"checkpoint restore took {_time.time() - _t0:.1f}s")
         meta = mgr.metadata(step)
