@@ -121,7 +121,16 @@ TRAIN_CHILD = textwrap.dedent(
     )
 
     dp_step = make_sharded_train_step(model, CFG, TCFG, mesh)
-    gstate, metrics = dp_step(gstate, gbatch, grng)
+    # compile BEFORE the coordination barrier: the Gloo context handshake
+    # at first execution carries a fixed 30 s deadline, and compile skew
+    # between the children (one may hit the persistent cache, the other
+    # not, on a contended 4-CPU host) can exceed it.  Compilation runs no
+    # collectives, so it is safe to do unsynchronized; the barrier then
+    # aligns both processes to within milliseconds for the handshake.
+    compiled = dp_step.lower(gstate, gbatch, grng).compile()
+    from jax._src import distributed as _dist
+    _dist.global_state.client.wait_at_barrier("dp_step_compiled", 600_000)
+    gstate, metrics = compiled(gstate, gbatch, grng)
     loss = float(np.asarray(metrics["loss"]))
     assert np.isfinite(loss)
     assert int(np.asarray(gstate.step)) == 1
