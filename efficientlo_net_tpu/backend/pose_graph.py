@@ -238,7 +238,14 @@ jax.tree_util.register_pytree_node(
 
 
 def _prior_contribution(poses, prior: PriorFactor):
-    """(H_add, b_add, chi2_add) of the marginalization prior at ``poses``."""
+    """(H_add, b_add, chi2_add) of the marginalization prior at ``poses``.
+    Matmul precision HIGHEST for the same reason as ``_optimize_jit`` (this
+    is also called eagerly by the sliding window's prior bookkeeping)."""
+    with jax.default_matmul_precision("highest"):
+        return _prior_contribution_impl(poses, prior)
+
+
+def _prior_contribution_impl(poses, prior: PriorFactor):
     n = poses.shape[0]
     dim = 6 * n
     ids = np.asarray(prior.node_ids)
@@ -311,7 +318,22 @@ def optimize(
 def _optimize_jit(poses, factors, prior, scan_factors, *, cfg, mesh):
     """Jitted Gauss-Newton core: caches by (shapes, cfg, mesh) so repeated
     window optimizations (sliding-window SLAM) compile once per shape
-    bucket instead of retracing every call."""
+    bucket instead of retracing every call.
+
+    The whole trace runs under matmul precision HIGHEST: on TPU, f32
+    matmuls otherwise route through the MXU's bf16 operand passes — fine
+    for the network, catastrophic for normal equations (a zero-residual
+    odometry chain came back with 8.5 m of position error on a 121-keyframe
+    window solve; exact to 0.1 mm on CPU / with HIGHEST).  The solver's
+    matrices are (6n x 6n) at n<=20 — precision costs nothing here.
+    """
+    with jax.default_matmul_precision("highest"):
+        return _optimize_traced(
+            poses, factors, prior, scan_factors, cfg=cfg, mesh=mesh
+        )
+
+
+def _optimize_traced(poses, factors, prior, scan_factors, *, cfg, mesh):
     if mesh is None:
         reduce_fn = partial(_accumulate, robust=cfg.robust)
     else:
@@ -394,21 +416,25 @@ def marginalize(
 
     ki = block_ids(keep)
     di = block_ids(drop)
-    h_kk = h[np.ix_(ki, ki)]
-    h_kd = h[np.ix_(ki, di)]
-    h_dd = h[np.ix_(di, di)]
-    b_k = b[ki]
-    b_d = b[di]
-    # small diagonal regularization for numerical stability
-    h_dd = h_dd + 1e-8 * jnp.eye(h_dd.shape[0], dtype=h.dtype)
-    sol = jnp.linalg.solve(h_dd, jnp.concatenate([h_kd.T, b_d[:, None]], axis=1))
-    h_dd_inv_h_dk = sol[:, :-1]
-    h_dd_inv_b_d = sol[:, -1]
-    h_new = h_kk - h_kd @ h_dd_inv_h_dk
-    b_new = b_k - h_kd @ h_dd_inv_b_d
-    return h_new, b_new
+    with jax.default_matmul_precision("highest"):  # see _optimize_jit
+        h_kk = h[np.ix_(ki, ki)]
+        h_kd = h[np.ix_(ki, di)]
+        h_dd = h[np.ix_(di, di)]
+        b_k = b[ki]
+        b_d = b[di]
+        # small diagonal regularization for numerical stability
+        h_dd = h_dd + 1e-8 * jnp.eye(h_dd.shape[0], dtype=h.dtype)
+        sol = jnp.linalg.solve(
+            h_dd, jnp.concatenate([h_kd.T, b_d[:, None]], axis=1)
+        )
+        h_dd_inv_h_dk = sol[:, :-1]
+        h_dd_inv_b_d = sol[:, -1]
+        h_new = h_kk - h_kd @ h_dd_inv_h_dk
+        b_new = b_k - h_kd @ h_dd_inv_b_d
+        return h_new, b_new
 
 
 def assemble_system(poses, factors: FactorGraph):
     """Public (H, b, chi2) assembly — for marginalization workflows."""
-    return _accumulate(poses, factors)
+    with jax.default_matmul_precision("highest"):  # see _optimize_jit
+        return _accumulate(poses, factors)

@@ -271,3 +271,30 @@ def test_lazy_payload_resolved_only_on_promotion():
         slam.add_frame(q, np.array([0.5, 0, 0]), payload=make_payload(i))
     assert calls == [3]  # frame 3 crossed 2.0 m; later frames unresolved
     assert slam.kf_payloads[1] == "payload-3"
+
+
+def test_window_optimization_is_noop_on_pure_chain():
+    """With only odometry factors (no closures, no scan factors, no noise
+    contradiction) the composed chain is the EXACT optimum: repeated window
+    optimization + marginalization must leave every keyframe where raw
+    integration put it.  Regression: on TPU the f32 normal equations ran
+    through bf16 MXU passes and drifted 8.5 m over 121 keyframes until the
+    solver forced matmul precision HIGHEST (pose_graph._optimize_jit)."""
+    slam = SlidingWindowSLAM(
+        SlamConfig(keyframe_distance=2.0, window_size=12, optimize_every=4))
+    raw = [np.eye(4)]
+    for i in range(240):
+        yaw = 0.004
+        c, s = np.cos(yaw), np.sin(yaw)
+        m = np.eye(4)
+        m[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        m[0, 3] = 0.5
+        qq = np.array([np.cos(yaw / 2), 0, 0, np.sin(yaw / 2)])
+        slam.add_frame(qq, np.array([0.5, 0, 0]))
+        raw.append(raw[-1] @ m)
+    slam.optimize_window()
+    errs = [
+        np.linalg.norm(slam.kf_poses[k][:3, 3] - raw[f][:3, 3])
+        for k, f in enumerate(slam.kf_frame_ids)
+    ]
+    assert max(errs) < 1e-3, f"chain no-op violated: max drift {max(errs)} m"

@@ -162,12 +162,23 @@ def stage_train(args):
     return trainer
 
 
+def _trainer_from_artifact(args):
+    """Build a trainer carrying a pretrained artifact's weights (no
+    checkpoint restore — the artifact may outlive the rotation).  Returns
+    (trainer, trained_epochs)."""
+    trainer = _trainer(args)
+    meta = trainer.load_pretrained(args.pretrained)
+    return trainer, int(meta.get("trained_epochs") or 0)
+
+
 def stage_eval(args, trainer=None):
     import jax
 
     from efficientlo_net_tpu.evaluation.runner import evaluate_sequences
 
-    if trainer is None:
+    if trainer is None and args.pretrained:
+        trainer, trained_epochs = _trainer_from_artifact(args)
+    elif trainer is None:
         trainer = _trainer(args)
         trainer.restore()
         trained_epochs = trainer.start_epoch
@@ -209,7 +220,9 @@ def stage_slam(args, trainer=None):
     from efficientlo_net_tpu.evaluation.odometry import quat_to_mat_np
 
     cfg = _model_cfg()
-    if trainer is None:
+    if trainer is None and args.pretrained:
+        trainer, slam_epochs = _trainer_from_artifact(args)
+    elif trainer is None:
         trainer = _trainer(args)
         trainer.restore()
         slam_epochs = trainer.start_epoch
@@ -248,7 +261,11 @@ def stage_slam(args, trainer=None):
     slam = SlidingWindowSLAM(
         SlamConfig(
             keyframe_distance=2.0, window_size=20, optimize_every=5,
-            closure_radius=6.0, closure_min_gap=15,
+            closure_radius=args.closure_radius, closure_min_gap=15,
+            # search ALL keyframes, not the sliding window: a loop closes
+            # against keyframes hundreds of frames old (window-only search
+            # can only ever close 15-20-keyframe-gap loops)
+            closure_search_all=True,
             use_scan_factors=args.scan_factors, gn=gn,
         ),
         closure_fn=closure_fn,
@@ -562,6 +579,10 @@ def main():
     ap.add_argument("--bn_decay_step", type=int, default=50000,
                     help="BN momentum schedule interval, in samples")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--pretrained", default=None,
+                    help="portable weight artifact for eval/slam stages "
+                         "(efficientlo_net_tpu.pretrained) — used instead "
+                         "of the latest checkpoint")
     ap.add_argument("--host_projection", action="store_true", default=True,
                     help="loader workers crop/augment/project on CPU; the "
                          "device train step consumes dense range images")
@@ -571,6 +592,12 @@ def main():
                     help="int16 (1.25 mm LSB) host->device transfer")
     ap.add_argument("--no_quantized_transfer", dest="quantized_transfer",
                     action="store_false")
+    ap.add_argument("--closure_radius", type=float, default=12.0,
+                    help="loop-closure candidate radius (m) on ESTIMATED "
+                         "keyframe positions — must exceed the expected "
+                         "drift at revisit time (the 233-epoch model drifts "
+                         "~7 m over this 1101-frame loop; the GT revisit "
+                         "distance is 0.6 m, so re-measured pairs overlap)")
     ap.add_argument("--scan_factors", action="store_true", default=True)
     ap.add_argument("--no_scan_factors", dest="scan_factors",
                     action="store_false")
