@@ -26,6 +26,7 @@ range images contribute geometric residuals to the window optimization:
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -315,3 +316,88 @@ def correspondences_for_pair(
             w=corr.w[::subsample],
         )
     return corr
+
+
+# ---------------------------------------------------------------------------
+# pairwise ICP refinement (loop-closure measurement sharpening)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("sensor", "iters", "subsample"))
+def icp_refine(
+    xyz_i: jnp.ndarray,
+    xyz_j: jnp.ndarray,
+    t_ij0: jnp.ndarray,
+    sensor: SensorConfig,
+    iters: int = 12,
+    max_dist: float = 2.0,
+    subsample: int = 2,
+):
+    """Point-to-plane ICP between two range images, re-associating every
+    iteration, starting from ``t_ij0`` (an initial guess of i_T_j — e.g. a
+    loop-closure measurement from the odometry network).
+
+    The network is trained on consecutive-frame motion (~0.6-0.9 m); a
+    revisit pair sits meters apart, so its raw measurement is only a seed.
+    This polishes it against the actual surfaces (the same projective
+    association + point-to-plane residual the window scan factors use) and
+    returns diagnostics for acceptance gating:
+
+        (t_ij, inlier_frac, rms)
+
+    * ``inlier_frac`` — fraction of valid frame-j pixels that associated in
+      the final iteration (0 when the pair does not overlap);
+    * ``rms`` — weighted RMS point-to-plane residual (meters) at the result.
+
+    Left-multiplicative update: T <- Exp(delta) T with delta = (v, w)
+    (se3.se3_exp twist ordering), so each row's Jacobian is
+    J = [n, (T p) x n].  All shapes static; the whole loop is one jitted
+    ``lax.scan`` (one device dispatch per call — SLAM replay through the
+    remote-TPU tunnel is dispatch-latency-bound, STATUS.md round 3).
+    """
+    normals_i, _ = compute_normals(xyz_i)
+    normals_j, _ = compute_normals(xyz_j)
+    s = max(1, subsample)
+    p_all = xyz_j.reshape(-1, 3)[::s]
+    nj_all = normals_j.reshape(-1, 3)[::s]
+    valid_j = jnp.sum(p_all * p_all, axis=-1) > _VALID_EPS
+    n_valid = jnp.maximum(jnp.sum(valid_j.astype(jnp.float32)), 1.0)
+    h, w, _ = xyz_i.shape
+    q_img = xyz_i.reshape(-1, 3)
+    n_img = normals_i.reshape(-1, 3)
+
+    def associate(t):
+        y = p_all @ t[:3, :3].T + t[:3, 3]
+        row, col, valid_proj, _ = pixel_coords(y, h, w, sensor)
+        flat = row * w + col
+        q = q_img[flat]
+        n = n_img[flat]
+        valid_i = (jnp.sum(q * q, axis=-1) > _VALID_EPS) & (
+            jnp.sum(n * n, axis=-1) > 0.5
+        )
+        dist = jnp.linalg.norm(y - q, axis=-1)
+        r = jnp.sum(n * (y - q), axis=-1)
+        nj_rot = nj_all @ t[:3, :3].T
+        ok = (
+            valid_j & valid_proj & valid_i
+            & (dist <= max_dist) & (jnp.abs(r) <= max_dist / 2.0)
+            & (jnp.sum(n * nj_rot, axis=-1) >= 0.8)
+        )
+        return y, q, n, r, ok.astype(xyz_i.dtype)
+
+    def step(t, _):
+        y, q, n, r, wgt = associate(t)
+        jac = jnp.concatenate([n, jnp.cross(y, n)], axis=-1)   # (P, 6)
+        a = (jac * wgt[:, None]).T @ jac + 1e-6 * jnp.eye(6, dtype=t.dtype)
+        g = (jac * wgt[:, None]).T @ r
+        delta = -jnp.linalg.solve(a, g)
+        t_new = se3.se3_exp(delta) @ t
+        return t_new, None
+
+    with jax.default_matmul_precision("highest"):  # see pose_graph._optimize_jit
+        t, _ = jax.lax.scan(step, t_ij0.astype(jnp.float32), None, length=iters)
+        _, _, _, r, wgt = associate(t)
+        inlier_frac = jnp.sum(wgt) / n_valid
+        rms = jnp.sqrt(
+            jnp.sum(wgt * r * r) / jnp.maximum(jnp.sum(wgt), 1.0)
+        )
+    return t, inlier_frac, rms

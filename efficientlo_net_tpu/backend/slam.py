@@ -22,6 +22,7 @@ per-frame relative poses (the PWCLO network's l0 output); this module:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 from typing import Callable, List, Optional, Tuple
 
@@ -50,6 +51,16 @@ class SlamConfig:
     # fixed-pose anchor strength for already-frozen keyframes that re-enter
     # the system through a late loop closure (see _marginalize_departed)
     frozen_prior_weight: float = 1e4
+    # where a closure whose older endpoint is already OUT of the window goes:
+    # * "global" (default) — archived for ``global_optimize`` only.  Feeding
+    #   it to the window would satisfy it by bending the last few keyframes
+    #   against the frozen (drifted) pose — a kink the refined chain then
+    #   bakes in, leaving the global pass with zero residual to distribute
+    #   (measured on the synthetic loop drive).
+    # * "window" — legacy behavior: enters the window via the frozen-pose
+    #   anchor prior (online correction, no batch pass needed).
+    # In-window closures always enter the window graph directly.
+    closure_to_frozen: str = "global"
     marginalize: bool = True            # False: drop departing factors (ablation)
     # point-to-plane scan factors between consecutive window keyframes
     # (requires keyframe payloads to be (H, W, 3) range images and
@@ -61,6 +72,11 @@ class SlamConfig:
     # constraint needs thousands, not all H*W=115200 pixels; 4 keeps ~29k
     # candidates per pair and cuts the per-iteration Jacobian work 4x
     scan_subsample: int = 4
+    # place the solver's arrays + jitted GN on this JAX backend ("cpu" to
+    # keep the many small (6n x 6n) window solves off a remote-TPU tunnel —
+    # the replay is dispatch-latency-bound, not FLOP-bound, and the CPU
+    # backend needs no matmul-precision workaround).  None = default device.
+    solver_device: Optional[str] = None
     gn: pg.GaussNewtonConfig = dataclasses.field(default_factory=pg.GaussNewtonConfig)
 
 
@@ -103,6 +119,21 @@ class SlidingWindowSLAM:
         self.kf_payloads: List[object] = [initial_payload]
         # factors between keyframes (global keyframe ids)
         self.factors: List[Tuple[int, int, np.ndarray, float]] = []
+        # permanent archives — ``factors`` gets pruned by marginalization,
+        # but a late loop closure can only repair already-frozen drift
+        # through a *global* re-optimization over the full history
+        # (``global_optimize``):
+        # * raw odometry factors as measured (diagnostics / ablation),
+        self.archive: List[Tuple[int, int, np.ndarray, float]] = []
+        # * every accepted loop-closure factor,
+        self.closure_archive: List[Tuple[int, int, np.ndarray, float]] = []
+        # * consecutive-keyframe relatives captured at FREEZE time — after
+        #   every scan factor / closure that touched them in-window has
+        #   acted.  The global chain must carry this refined information;
+        #   rebuilding it from raw odometry would throw the window's work
+        #   away (measured: it degraded t_rel 0.115 -> 0.376 on the
+        #   synthetic loop drive).
+        self._refined_chain: dict = {}
         self.closed_pairs: set = set()
         # per-keyframe range-image normals (computed once per keyframe, the
         # payload is immutable after promotion)
@@ -139,17 +170,26 @@ class SlidingWindowSLAM:
         self.full_trajectory.append(self._current.copy())
 
         dist = float(np.linalg.norm(self._T_since_kf[:3, 3]))
-        ang = float(
-            np.linalg.norm(
-                np.asarray(se3.so3_log(jnp.asarray(self._T_since_kf[:3, :3].astype(np.float32))))
-            )
-        )
+        # rotation angle in pure numpy (trace formula) — the previous jax
+        # so3_log here cost two device round-trips PER FRAME on a remote
+        # (tunnel) backend, dominating replay latency
+        tr = float(np.trace(self._T_since_kf[:3, :3]))
+        ang = float(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
         if dist >= self.cfg.keyframe_distance or ang >= self.cfg.keyframe_rotation:
             self._promote_keyframe()
+
+    def _dev(self):
+        """Device scope for the solver's arrays + jitted calls."""
+        if self.cfg.solver_device is None:
+            return contextlib.nullcontext()
+        import jax
+
+        return jax.default_device(jax.devices(self.cfg.solver_device)[0])
 
     def _promote_keyframe(self) -> None:
         i = len(self.kf_poses) - 1
         self.factors.append((i, i + 1, self._T_since_kf.copy(), 1.0))
+        self.archive.append((i, i + 1, self._T_since_kf.copy(), 1.0))
         self.kf_poses.append(self._current.copy())
         self.kf_frame_ids.append(self._frame_count)
         payload = self._last_payload
@@ -169,7 +209,10 @@ class SlidingWindowSLAM:
         if rel.shape != (4, 4):
             raise ValueError(f"closure transform must be (4, 4), got {rel.shape}")
         w = self.cfg.closure_weight if weight is None else weight
-        self.factors.append((kf_i, kf_j, rel, w))
+        in_window = kf_i >= int(self._window_ids()[0])
+        if in_window or self.cfg.closure_to_frozen == "window":
+            self.factors.append((kf_i, kf_j, rel, w))
+        self.closure_archive.append((kf_i, kf_j, rel, w))
         self.closed_pairs.add((kf_i, kf_j))
 
     def detect_loop_closures(self) -> int:
@@ -229,6 +272,13 @@ class SlidingWindowSLAM:
         )
         if not dropped:
             return
+        # snapshot the refined consecutive relative of every keyframe that
+        # freezes now — the global chain factor for global_optimize
+        for g in dropped:
+            if g not in self._refined_chain and g + 1 < len(self.kf_poses):
+                self._refined_chain[g] = (
+                    np.linalg.inv(self.kf_poses[g]) @ self.kf_poses[g + 1]
+                )
         kept = sorted(
             {n for f in departed_factors for n in (f[0], f[1]) if n >= lo}
             | {n for n in prior_nodes if n >= lo}
@@ -294,6 +344,10 @@ class SlidingWindowSLAM:
     def optimize_window(self) -> float:
         """Gauss-Newton over the current window (with the marginalization
         prior); returns final chi2."""
+        with self._dev():
+            return self._optimize_window_impl()
+
+    def _optimize_window_impl(self) -> float:
         ids = self._window_ids()
         if self.cfg.marginalize:
             self._marginalize_departed(int(ids[0]))
@@ -345,6 +399,73 @@ class SlidingWindowSLAM:
             self.kf_poses[g] = anchor @ opt[l]
         self._current = self.kf_poses[-1] @ self._T_since_kf
         return float(np.asarray(history)[-1])
+
+    def global_optimize(self, iterations: int = 30,
+                        robust_closures: bool = True,
+                        chain: str = "refined") -> float:
+        """Batch pose-graph optimization over ALL keyframes: the refined
+        consecutive-keyframe chain + every accepted loop closure.
+
+        The sliding window freezes keyframes as they depart; a loop closure
+        found hundreds of keyframes later can therefore only correct the
+        window, never the drifted history.  This is the standard offline PGO
+        pass that distributes the closure's correction along the whole chain
+        — run it once after the drive (or at any checkpointing opportunity).
+        Initializes at the current ``kf_poses``, gauge-fixes keyframe 0, and
+        writes the optimized poses back.  Returns the final chi2.
+
+        ``chain='refined'`` (default) uses each consecutive pair's relative
+        pose as it stood when the earlier keyframe froze — i.e. AFTER all
+        in-window scan factors and closures acted on it; ``chain='raw'``
+        rebuilds from the archived odometry measurements (ablation — it
+        discards the window's refinements).
+
+        ``robust_closures`` applies the Geman-McClure kernel so a false
+        closure that survived the measurement gate switches itself off
+        instead of folding the trajectory.
+        """
+        n = len(self.kf_poses)
+        if n < 2:
+            return 0.0
+        if chain == "refined":
+            chain_fs = [
+                (g, g + 1,
+                 self._refined_chain.get(
+                     g, np.linalg.inv(self.kf_poses[g]) @ self.kf_poses[g + 1]
+                 ), 1.0)
+                for g in range(n - 1)
+            ]
+        else:
+            chain_fs = list(self.archive)
+        fs = chain_fs + list(self.closure_archive)
+        with self._dev():
+            src = np.array([f[0] for f in fs])
+            dst = np.array([f[1] for f in fs])
+            meas = np.stack([f[2] for f in fs]).astype(np.float32)
+            weight = np.array([f[3] for f in fs], dtype=np.float32)
+            factors = pg.make_factors(src, dst, meas, weight, num_nodes=n)
+            poses0 = jnp.asarray(np.stack(self.kf_poses).astype(np.float32))
+            # phase 1: non-robust — a CORRECT closure starts with a residual
+            # the size of the accumulated drift, and a redescending kernel
+            # evaluated there would switch it off before it can act
+            gn = dataclasses.replace(
+                self.cfg.gn, iterations=iterations, robust_delta=None,
+            )
+            opt, history = pg.optimize(poses0, factors, gn, mesh=self.mesh)
+            if robust_closures:
+                # phase 2: Geman-McClure polish from the pulled-in state —
+                # now only genuinely inconsistent factors carry big residuals
+                gn2 = dataclasses.replace(
+                    self.cfg.gn, iterations=iterations,
+                    robust_delta=1.0, robust_kernel="gm",
+                )
+                opt, history = pg.optimize(opt, factors, gn2, mesh=self.mesh)
+            opt = np.asarray(opt, dtype=np.float64)
+            anchor = self.kf_poses[0] @ np.linalg.inv(opt[0])
+            for g in range(n):
+                self.kf_poses[g] = anchor @ opt[g]
+            self._current = self.kf_poses[-1] @ self._T_since_kf
+            return float(np.asarray(history)[-1])
 
     def _build_scan_factors(self, ids, id_map, poses0):
         """Point-to-plane factors between consecutive window keyframes whose

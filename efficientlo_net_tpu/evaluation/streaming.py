@@ -72,9 +72,22 @@ class OdometryStream:
             )
             return out["q"][0], out["t"][0]
 
+        @jax.jit
+        def _warp_project(img, m):
+            # rigidly move a range image's valid points by m, re-project.
+            # Invalid (zero) pixels must stay at the origin or they would
+            # all land at m's translation as a phantom point.
+            import jax.numpy as jnp
+
+            pts = img.reshape(img.shape[0], -1, 3)
+            valid = jnp.any(pts != 0.0, axis=-1, keepdims=True)
+            moved = pts @ m[:3, :3].T + m[:3, 3]
+            return _project(jnp.where(valid, moved, 0.0))
+
         self._project = _project
         self._pyramid = _pyramid
         self._step = _step
+        self._warp_project = _warp_project
         self._variables = variables
         self._prev = None
         #: (1, H, W, 3) range image of the most recent pushed scan — SLAM
@@ -91,6 +104,50 @@ class OdometryStream:
 
     def reset(self) -> None:
         self._prev = None
+
+    def measure_relative(self, img_i, img_j, t_init=None, refinements: int = 2):
+        """Measure i_T_j between two range images by iterated
+        warp-and-measure — the loop-closure measurement primitive.
+
+        The network is trained on consecutive-frame motion (~0.6-0.9 m);
+        a revisit pair can sit meters apart, outside that regime.  So:
+        measure once raw (or start from ``t_init``), then repeatedly warp
+        frame j's points into frame i by the current estimate, re-project,
+        and let the network measure the *residual* motion — which IS in its
+        trained regime.  Each refinement composes ``i_T_j <- delta @ i_T_j``.
+
+        img_i / img_j: (H, W, 3) or (1, H, W, 3) range images (e.g. SLAM
+        keyframe payloads).  Returns a (4, 4) float64 i_T_j.
+        """
+        import jax.numpy as jnp
+
+        from .odometry import quat_to_mat_np
+
+        def to_batch(x):
+            x = jnp.asarray(x)
+            return x if x.ndim == 4 else x[None]
+
+        def mat(q, t):
+            q = np.asarray(q, dtype=np.float64).reshape(4)
+            m = np.eye(4)
+            m[:3, :3] = quat_to_mat_np(q / np.linalg.norm(q))
+            m[:3, 3] = np.asarray(t, dtype=np.float64).reshape(3)
+            return m
+
+        img_i, img_j = to_batch(img_i), to_batch(img_j)
+        pyr_i = self._pyramid(self._variables, img_i)
+        if t_init is None:
+            pyr_j = self._pyramid(self._variables, img_j)
+            q, t = self._step(self._variables, pyr_j, pyr_i)
+            cur = mat(q, t)
+        else:
+            cur = np.asarray(t_init, dtype=np.float64).copy()
+        for _ in range(refinements):
+            warped = self._warp_project(img_j, jnp.asarray(cur, dtype=jnp.float32))
+            pyr_w = self._pyramid(self._variables, warped)
+            q, t = self._step(self._variables, pyr_w, pyr_i)
+            cur = mat(q, t) @ cur
+        return cur
 
     def push(self, points: np.ndarray):
         """points: (N, 3) new scan.  Returns (q (4,), t (3,)) — the relative

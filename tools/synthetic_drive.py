@@ -237,21 +237,28 @@ def stage_slam(args, trainer=None):
     variables = variables_from_train_state(trainer.state)
     stream = OdometryStream(trainer.model, variables, cfg)
 
-    def closure_fn(img_j, img_i):
-        # re-measure candidate keyframe pairs with the odometry network:
-        # model(new=i, prev=j) emits j_T_i, exactly the factor convention
-        # (slam.add_loop_closure: rel = kf_i_T_kf_j for (kf_i=j, kf_j=i)).
-        # _step consumes feature pyramids, so encode the payload images first
-        import jax.numpy as jnp
+    closure_log = []
 
-        pyr_i = stream._pyramid(variables, jnp.asarray(img_i[None]))
-        pyr_j = stream._pyramid(variables, jnp.asarray(img_j[None]))
-        q, t = stream._step(variables, pyr_i, pyr_j)
-        q = np.asarray(q, dtype=np.float64).reshape(4)
-        m = np.eye(4)
-        m[:3, :3] = quat_to_mat_np(q / np.linalg.norm(q))
-        m[:3, 3] = np.asarray(t, dtype=np.float64).reshape(3)
-        return m
+    def closure_fn(img_j, img_i):
+        # re-measure candidate keyframe pairs with the odometry network via
+        # iterated warp-and-measure (OdometryStream.measure_relative): the
+        # raw network only sees consecutive-frame motion in training, so a
+        # revisit pair (meters apart) is measured by warping one frame into
+        # the other's estimate and re-measuring the residual.  Convention:
+        # closure_fn(payload_j, payload_i) must return kf_j_T_kf_i.
+        fwd = stream.measure_relative(img_j, img_i, refinements=2)
+        # acceptance gate: the reverse measurement must invert the forward
+        # one.  A pair outside the measurable regime (occlusion, aperture)
+        # produces directionally inconsistent estimates and is rejected.
+        bwd = stream.measure_relative(img_i, img_j, refinements=2)
+        gap = fwd @ bwd
+        t_err = float(np.linalg.norm(gap[:3, 3]))
+        r_err = float(np.degrees(np.arccos(
+            np.clip((np.trace(gap[:3, :3]) - 1.0) / 2.0, -1.0, 1.0))))
+        ok = t_err <= 0.15 and r_err <= 1.0
+        closure_log.append({"t_gap_m": round(t_err, 4),
+                            "r_gap_deg": round(r_err, 4), "accepted": ok})
+        return fwd if ok else None
 
     from efficientlo_net_tpu.backend import pose_graph as pg
 
@@ -267,6 +274,11 @@ def stage_slam(args, trainer=None):
             # can only ever close 15-20-keyframe-gap loops)
             closure_search_all=True,
             use_scan_factors=args.scan_factors, gn=gn,
+            # the windowed solves are tiny dense systems; keep them (and the
+            # marginalization bookkeeping) on the host CPU — through a
+            # remote-TPU tunnel each would otherwise pay dispatch latency,
+            # which dominated the round-3 replay wall clock (STATUS.md)
+            solver_device="cpu",
         ),
         closure_fn=closure_fn,
         scan_sensor=cfg.sensor if args.scan_factors else None,
@@ -274,16 +286,40 @@ def stage_slam(args, trainer=None):
 
     ds = trainer.dataset
     n = seq_frames(EVAL_SEQ)
+    # replay cache: the stream's per-frame (q, t) and range images are a
+    # pure function of the scans + weights — persist them next to the
+    # dataset so SLAM-side experiments don't re-run the network
+    cache_dir = os.path.join(os.path.dirname(args.root.rstrip("/")), "replay")
+    qt_path = os.path.join(cache_dir, f"qt{SEQ_NAMES[EVAL_SEQ]}.npz")
+    proj_path = os.path.join(cache_dir, f"proj{SEQ_NAMES[EVAL_SEQ]}.npy")
+    cached = os.path.isfile(qt_path) and os.path.isfile(proj_path)
+    if cached:
+        blob = np.load(qt_path)
+        qs_all, ts_all = blob["q"], blob["t"]
+        projs = np.load(proj_path, mmap_mode="r")
+        print(f"replay cache hit: {qt_path}", flush=True)
+    else:
+        os.makedirs(cache_dir, exist_ok=True)
+        qs_all = np.zeros((n, 4), np.float32)
+        ts_all = np.zeros((n, 3), np.float32)
+        projs = np.lib.format.open_memmap(
+            proj_path, mode="w+", dtype=np.float32,
+            shape=(n, cfg.sensor.height, cfg.sensor.width, 3))
+
     raw_poses = [np.eye(4)]
     t0 = time.time()
     for i in range(n):
-        scan = ds.read_scan(EVAL_SEQ, i)
-        q, t = stream.push(scan)
+        if cached:
+            q, t = qs_all[i], ts_all[i]
+        else:
+            scan = ds.read_scan(EVAL_SEQ, i)
+            q, t = stream.push(scan)
+            qs_all[i], ts_all[i] = np.asarray(q), np.asarray(t)
+            projs[i] = np.asarray(stream.last_projection)[0]
         # this frame's (H, W, 3) projection (keyframe payload for scan
-        # factors) — as a lazy thunk, so the device->host fetch through the
-        # TPU tunnel happens only for frames promoted to keyframes
-        proj = stream.last_projection
-        img = lambda proj=proj: np.asarray(proj)[0]
+        # factors / closures) — as a lazy thunk, so the memmap read (or the
+        # device->host fetch) happens only for frames promoted to keyframes
+        img = lambda i=i: np.asarray(projs[i])
         if i == 0:
             # frame 0 IS keyframe 0 — attach its payload without advancing
             # the frame counter (a dummy add_frame would shift kf_frame_ids
@@ -302,24 +338,36 @@ def stage_slam(args, trainer=None):
         if i % 100 == 0:
             print(f"  slam frame {i}/{n} kf={len(slam.kf_poses)} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+    if not cached:
+        np.savez(qt_path, q=qs_all, t=ts_all)
+        projs.flush()
     slam.optimize_window()
     closures = len(slam.closed_pairs)
     print(f"slam replay done: {len(slam.kf_poses)} keyframes, "
           f"{closures} closures, {time.time() - t0:.0f}s", flush=True)
+    if closure_log:
+        print("closure candidates:", json.dumps(closure_log), flush=True)
 
-    # re-anchor the full per-frame trajectory to the optimized keyframes:
-    # frame f after keyframe k keeps its raw motion relative to k
-    kf_frames = np.asarray(slam.kf_frame_ids)
-    kf_opt = np.stack(slam.kf_poses)
-    refined = []
-    ki = 0
-    for f in range(n):
-        while ki + 1 < len(kf_frames) and kf_frames[ki + 1] <= f:
-            ki += 1
-        anchor = kf_frames[ki]
-        delta = np.linalg.inv(raw_poses[anchor]) @ raw_poses[f]
-        refined.append(kf_opt[ki] @ delta)
-    refined = np.stack(refined)
+    def reanchor(kf_opt):
+        # re-anchor the full per-frame trajectory to the optimized
+        # keyframes: frame f after keyframe k keeps its raw motion rel. to k
+        kf_frames = np.asarray(slam.kf_frame_ids)
+        out, ki = [], 0
+        for f in range(n):
+            while ki + 1 < len(kf_frames) and kf_frames[ki + 1] <= f:
+                ki += 1
+            anchor = kf_frames[ki]
+            delta = np.linalg.inv(raw_poses[anchor]) @ raw_poses[f]
+            out.append(kf_opt[ki] @ delta)
+        return np.stack(out)
+
+    refined_window = reanchor(np.stack(slam.kf_poses))
+    # global pose-graph pass: the sliding window froze most of the drive
+    # long before the loop closed — only a batch optimization over the full
+    # factor archive can spread the closure's correction along the chain
+    chi2 = slam.global_optimize()
+    print(f"global PGO done: chi2={chi2:.4f}", flush=True)
+    refined = reanchor(np.stack(slam.kf_poses))
 
     # score both trajectories with the same RPE protocol
     name = SEQ_NAMES[EVAL_SEQ]
@@ -343,19 +391,21 @@ def stage_slam(args, trainer=None):
     # re-anchor with the true world_T_frame0 before comparing
     map_err = _map_accuracy(map_pts)
 
-    res_raw = evaluate_sequence(gt, to_cam_rows(np.stack(raw_poses)), seq=name)
-    res_ref = evaluate_sequence(gt, to_cam_rows(refined), seq=name)
-    ate_raw = KM.absolute_trajectory_error(gt, to_cam_rows(np.stack(raw_poses)),
-                                           align=False)
-    ate_ref = KM.absolute_trajectory_error(gt, to_cam_rows(refined), align=False)
+    def score(poses):
+        res = evaluate_sequence(gt, to_cam_rows(poses), seq=name)
+        ate = KM.absolute_trajectory_error(gt, to_cam_rows(poses), align=False)
+        return {"t_rel": res.t_rel, "r_rel": res.r_rel, "ate_m": ate}
+
     slam_key = "slam_refined_robust" if args.robust else "slam_refined"
     out = {
-        "streaming_odometry": {"t_rel": res_raw.t_rel, "r_rel": res_raw.r_rel,
-                               "ate_m": ate_raw},
-        slam_key: {"t_rel": res_ref.t_rel, "r_rel": res_ref.r_rel,
-                   "ate_m": ate_ref},
+        "streaming_odometry": score(np.stack(raw_poses)),
+        # sliding-window only (online estimate, before the batch PGO pass)
+        "slam_window": score(refined_window),
+        # window + global pose-graph over the full factor archive
+        slam_key: score(refined),
         "keyframes": int(len(slam.kf_poses)),
         "loop_closures": closures,
+        "closure_candidates": closure_log,
         "scan_factors": bool(args.scan_factors),
         "slam_trained_epochs": int(slam_epochs),
         "map_points": int(len(map_pts)),
