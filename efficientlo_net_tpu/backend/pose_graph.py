@@ -46,17 +46,23 @@ class FactorGraph:
     meas: jnp.ndarray     # (F, 4, 4) measured relative transform Z
     weight: jnp.ndarray   # (F,) or (F, 6, 6) information weight
     valid: jnp.ndarray    # (F,) float 1/0 padding mask
+    # (F,) float 1/0: factors eligible for the IRLS robust kernel (all-ones
+    # by default; e.g. loop closures only, keeping odometry-chain factors
+    # quadratic — a chain link with a moderate residual must not deweight)
+    robust_mask: jnp.ndarray
     num_nodes: int
 
 
 jax.tree_util.register_pytree_node(
     FactorGraph,
-    lambda fg: ((fg.src, fg.dst, fg.meas, fg.weight, fg.valid), fg.num_nodes),
+    lambda fg: ((fg.src, fg.dst, fg.meas, fg.weight, fg.valid,
+                 fg.robust_mask), fg.num_nodes),
     lambda aux, leaves: FactorGraph(*leaves, num_nodes=aux),
 )
 
 
-def make_factors(src, dst, meas, weight=None, num_nodes=None, capacity=None) -> FactorGraph:
+def make_factors(src, dst, meas, weight=None, num_nodes=None, capacity=None,
+                 robust_mask=None) -> FactorGraph:
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
     meas = np.asarray(meas, dtype=np.float32)
@@ -64,6 +70,9 @@ def make_factors(src, dst, meas, weight=None, num_nodes=None, capacity=None) -> 
     if weight is None:
         weight = np.ones((f,), dtype=np.float32)
     weight = np.asarray(weight, dtype=np.float32)
+    if robust_mask is None:
+        robust_mask = np.ones((f,), dtype=np.float32)
+    robust_mask = np.asarray(robust_mask, dtype=np.float32)
     if num_nodes is None:
         num_nodes = int(max(src.max(), dst.max())) + 1
     valid = np.ones((f,), dtype=np.float32)
@@ -75,10 +84,11 @@ def make_factors(src, dst, meas, weight=None, num_nodes=None, capacity=None) -> 
         wpad_shape = (pad,) + weight.shape[1:]
         weight = np.concatenate([weight, np.zeros(wpad_shape, np.float32)])
         valid = np.concatenate([valid, np.zeros(pad, np.float32)])
+        robust_mask = np.concatenate([robust_mask, np.ones(pad, np.float32)])
     return FactorGraph(
         src=jnp.asarray(src), dst=jnp.asarray(dst), meas=jnp.asarray(meas),
         weight=jnp.asarray(weight), valid=jnp.asarray(valid),
-        num_nodes=num_nodes,
+        robust_mask=jnp.asarray(robust_mask), num_nodes=num_nodes,
     )
 
 
@@ -146,6 +156,9 @@ def _accumulate(poses, factors: FactorGraph, robust=None):
             rho = d2 * chi_sq / (d2 + chi_sq)
         else:
             raise ValueError(f"unknown robust kernel {kernel!r}")
+        # factors outside robust_mask stay quadratic (scale 1, rho = chi^2)
+        scale = jnp.where(factors.robust_mask > 0, scale, 1.0)
+        rho = jnp.where(factors.robust_mask > 0, rho, chi_sq)
         info = info * scale[:, None, None]
 
     n = poses.shape[0]
@@ -374,10 +387,10 @@ def _make_distributed_reduce(mesh, num_nodes, robust=None):
     axis = mesh.axis_names[0]
 
     def sharded(poses, factors: FactorGraph):
-        def local(poses, src, dst, meas, weight, valid):
+        def local(poses, src, dst, meas, weight, valid, rmask):
             fg = FactorGraph(
                 src=src, dst=dst, meas=meas, weight=weight, valid=valid,
-                num_nodes=num_nodes,
+                robust_mask=rmask, num_nodes=num_nodes,
             )
             h, b, chi2 = _accumulate(poses, fg, robust=robust)
             return (
@@ -390,9 +403,11 @@ def _make_distributed_reduce(mesh, num_nodes, robust=None):
         return shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis, None, None), w_spec, P(axis)),
+            in_specs=(P(), P(axis), P(axis), P(axis, None, None), w_spec,
+                      P(axis), P(axis)),
             out_specs=(P(), P(), P()),
-        )(poses, factors.src, factors.dst, factors.meas, factors.weight, factors.valid)
+        )(poses, factors.src, factors.dst, factors.meas, factors.weight,
+          factors.valid, factors.robust_mask)
 
     return sharded
 

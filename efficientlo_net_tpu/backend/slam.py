@@ -68,6 +68,12 @@ class SlamConfig:
     use_scan_factors: bool = False
     scan_max_dist: float = 1.0
     scan_weight: float = 1.0
+    # polish accepted closure measurements with point-to-plane ICP against
+    # the two keyframes' range images (scan_factors.icp_refine) and gate on
+    # its diagnostics; requires ``scan_sensor`` and image payloads
+    closure_icp: bool = False
+    closure_icp_min_inliers: float = 0.2
+    closure_icp_max_rms: float = 0.3
     # pixel-stride subsampling of each pair's correspondence block: a 6-DoF
     # constraint needs thousands, not all H*W=115200 pixels; 4 keeps ~29k
     # candidates per pair and cuts the per-iteration Jacobian work 4x
@@ -228,6 +234,17 @@ class SlidingWindowSLAM:
         i = len(self.kf_poses) - 1
         if self.kf_payloads[i] is None:
             return 0
+        # pass the graph's own relative estimate kf_j_T_kf_i as a seed when
+        # the measurement function accepts it: a revisit offset of several
+        # meters is outside the odometry network's trained regime, but the
+        # residual after warping by the graph estimate is inside it
+        import inspect
+
+        try:
+            takes_init = "rel_init" in inspect.signature(
+                self.closure_fn).parameters
+        except (TypeError, ValueError):
+            takes_init = False
         pos_i = self.kf_poses[i][:3, 3]
         added = 0
         for j in ids:
@@ -237,12 +254,40 @@ class SlidingWindowSLAM:
                 continue
             if np.linalg.norm(self.kf_poses[j][:3, 3] - pos_i) > self.cfg.closure_radius:
                 continue
-            rel = self.closure_fn(self.kf_payloads[j], self.kf_payloads[i])
+            if takes_init:
+                rel_init = np.linalg.inv(self.kf_poses[j]) @ self.kf_poses[i]
+                rel = self.closure_fn(self.kf_payloads[j],
+                                      self.kf_payloads[i], rel_init=rel_init)
+            else:
+                rel = self.closure_fn(self.kf_payloads[j], self.kf_payloads[i])
             if rel is None:
                 continue
+            if self.cfg.closure_icp and self.scan_sensor is not None:
+                rel = self._icp_polish(j, i, np.asarray(rel, dtype=np.float64))
+                if rel is None:
+                    continue
             self.add_loop_closure(j, i, np.asarray(rel, dtype=np.float64))
             added += 1
         return added
+
+    def _icp_polish(self, j: int, i: int, rel: np.ndarray):
+        """Refine a closure measurement kf_j_T_kf_i with point-to-plane ICP
+        on the two keyframes' range images; gate on inlier fraction and
+        residual RMS.  Returns the polished (4, 4) or None if rejected."""
+        from . import scan_factors as sfm
+
+        with self._dev():
+            t, inl, rms = sfm.icp_refine(
+                jnp.asarray(np.asarray(self.kf_payloads[j], np.float32)),
+                jnp.asarray(np.asarray(self.kf_payloads[i], np.float32)),
+                jnp.asarray(rel.astype(np.float32)),
+                self.scan_sensor, max_dist=self.cfg.scan_max_dist,
+            )
+            inl, rms = float(inl), float(rms)
+        if inl < self.cfg.closure_icp_min_inliers or \
+                rms > self.cfg.closure_icp_max_rms:
+            return None
+        return np.asarray(t, dtype=np.float64)
 
     # -- backend ----------------------------------------------------------
     def _window_ids(self) -> np.ndarray:
@@ -420,9 +465,18 @@ class SlidingWindowSLAM:
         rebuilds from the archived odometry measurements (ablation — it
         discards the window's refinements).
 
-        ``robust_closures`` applies the Geman-McClure kernel so a false
-        closure that survived the measurement gate switches itself off
-        instead of folding the trajectory.
+        ``robust_closures`` applies the Geman-McClure kernel to the CLOSURE
+        factors only (chain factors stay quadratic — a chain link with a
+        moderate residual must not deweight), so a false closure that
+        survived the measurement gate switches itself off instead of
+        folding the trajectory.
+
+        Safe to run mid-drive: the write-back also updates the
+        marginalization prior's linearization points by each node's own
+        correction, so a subsequent ``optimize_window`` sees a consistent
+        prior.  ``full_trajectory`` (the raw per-frame history) is NOT
+        rewritten — re-anchor per-frame poses to ``kf_poses`` downstream
+        (as tools/synthetic_drive.py does).
         """
         n = len(self.kf_poses)
         if n < 2:
@@ -443,7 +497,13 @@ class SlidingWindowSLAM:
             dst = np.array([f[1] for f in fs])
             meas = np.stack([f[2] for f in fs]).astype(np.float32)
             weight = np.array([f[3] for f in fs], dtype=np.float32)
-            factors = pg.make_factors(src, dst, meas, weight, num_nodes=n)
+            # robust kernel eligibility: closures only
+            rmask = np.concatenate([
+                np.zeros(len(chain_fs), np.float32),
+                np.ones(len(self.closure_archive), np.float32),
+            ])
+            factors = pg.make_factors(src, dst, meas, weight, num_nodes=n,
+                                      robust_mask=rmask)
             poses0 = jnp.asarray(np.stack(self.kf_poses).astype(np.float32))
             # phase 1: non-robust — a CORRECT closure starts with a residual
             # the size of the accumulated drift, and a redescending kernel
@@ -462,9 +522,26 @@ class SlidingWindowSLAM:
                 opt, history = pg.optimize(opt, factors, gn2, mesh=self.mesh)
             opt = np.asarray(opt, dtype=np.float64)
             anchor = self.kf_poses[0] @ np.linalg.inv(opt[0])
+            old_poses = [p.copy() for p in self.kf_poses]
             for g in range(n):
                 self.kf_poses[g] = anchor @ opt[g]
             self._current = self.kf_poses[-1] @ self._T_since_kf
+            if self._prior is not None:
+                # the prior's quadratic is over d_i = Log(lin_i^-1 T_i);
+                # left-multiplying each node's correction C_i = T_new T_old^-1
+                # into lin_i keeps d_i (hence the prior's pull) invariant
+                # under the global re-write
+                lin = np.asarray(self._prior.lin_poses, dtype=np.float64)
+                new_lin = []
+                for k, g in enumerate(np.asarray(self._prior.node_ids)):
+                    corr = self.kf_poses[g] @ np.linalg.inv(old_poses[g])
+                    new_lin.append(corr @ lin[k])
+                self._prior = pg.PriorFactor(
+                    node_ids=self._prior.node_ids, h=self._prior.h,
+                    b=self._prior.b,
+                    lin_poses=jnp.asarray(np.stack(new_lin),
+                                          dtype=jnp.float32),
+                )
             return float(np.asarray(history)[-1])
 
     def _build_scan_factors(self, ids, id_map, poses0):

@@ -8,10 +8,20 @@ from efficientlo_net_tpu.ops import quaternion as Q
 from efficientlo_net_tpu.ops import se3
 
 
-def drive_square(slam, side=20.0, step=0.5, noise=0.0, rng=None):
-    """Drive a square loop: 4 sides with 90-degree turns; returns GT poses."""
+def drive_square(slam, side=20.0, step=0.5, noise=0.0, rng=None,
+                 payloads=False):
+    """Drive a square loop: 4 sides with 90-degree turns; returns GT poses.
+    ``payloads=True`` attaches a dummy payload to every frame (so keyframes
+    become loop-closure candidates)."""
     gt = [np.eye(4)]
     yaw_step = np.pi / 2
+    pl = (lambda: np.zeros((2, 2, 3))) if payloads else None
+
+    def feed(rel):
+        gt.append(gt[-1] @ rel)
+        q = Q.mat_to_quat(jnp.asarray(rel[:3, :3].astype(np.float32)))
+        slam.add_frame(np.asarray(q), rel[:3, 3], payload=pl)
+
     for leg in range(4):
         for _ in range(int(side / step)):
             rel = np.eye(4)
@@ -19,9 +29,7 @@ def drive_square(slam, side=20.0, step=0.5, noise=0.0, rng=None):
             if noise and rng is not None:
                 xi = rng.standard_normal(6) * noise
                 rel = rel @ np.asarray(se3.se3_exp(jnp.asarray(xi.astype(np.float32))))
-            gt.append(gt[-1] @ rel)
-            q = Q.mat_to_quat(jnp.asarray(rel[:3, :3].astype(np.float32)))
-            slam.add_frame(np.asarray(q), rel[:3, 3])
+            feed(rel)
         # turn in place
         rel = np.eye(4)
         rel[:3, :3] = np.array(
@@ -29,9 +37,7 @@ def drive_square(slam, side=20.0, step=0.5, noise=0.0, rng=None):
              [np.sin(yaw_step), np.cos(yaw_step), 0],
              [0, 0, 1]]
         )
-        gt.append(gt[-1] @ rel)
-        q = Q.mat_to_quat(jnp.asarray(rel[:3, :3].astype(np.float32)))
-        slam.add_frame(np.asarray(q), rel[:3, 3])
+        feed(rel)
     return np.stack(gt)
 
 
@@ -361,3 +367,147 @@ def test_global_optimize_is_noop_without_new_information():
     after = np.stack(slam.kf_poses)
     err = np.linalg.norm(before[:, :3, 3] - after[:, :3, 3], axis=1).max()
     assert err < 1e-3, err
+
+
+def test_robust_mask_limits_kernel_to_closures():
+    """GM robustification must deweight ONLY robust-masked factors (loop
+    closures); chain factors with moderate residuals stay quadratic
+    (ADVICE r4: the kernel used to apply to every factor)."""
+    poses = jnp.stack([jnp.eye(4), jnp.eye(4)]).astype(jnp.float32)
+    bad = np.eye(4, dtype=np.float32)
+    bad[:3, 3] = [3.0, 0, 0]  # large residual: GM weight ~ (1/chi^2)^2
+    factors = pg.make_factors(
+        [0, 0], [1, 1], np.stack([bad, bad]), num_nodes=2,
+        robust_mask=[0.0, 1.0],
+    )
+    h, b, chi2 = pg._accumulate(poses, factors, robust=("gm", 1.0))
+    h_ref, b_ref, _ = pg._accumulate(
+        poses,
+        pg.make_factors([0], [1], bad[None], num_nodes=2),
+        robust=None,
+    )
+    # the unmasked factor contributed its full quadratic information; the
+    # masked one is essentially switched off (scale (1/(1+9))^2 = 1e-2)
+    h = np.asarray(h)
+    h_ref = np.asarray(h_ref)
+    ratio = h[6:, 6:].diagonal() / np.maximum(h_ref[6:, 6:].diagonal(), 1e-9)
+    assert np.all((ratio > 1.0) & (ratio < 1.05)), ratio
+
+
+def test_global_optimize_keeps_prior_consistent():
+    """global_optimize rewrites all kf_poses; the marginalization prior's
+    linearization points must be transported by each node's own correction
+    so the prior's local deltas d_i = Log(lin_i^-1 T_i) are invariant
+    (ADVICE r4 medium: a stale prior would pull a subsequent
+    optimize_window back toward the pre-correction poses)."""
+    rng = np.random.default_rng(2)
+    slam = SlidingWindowSLAM(
+        SlamConfig(keyframe_distance=2.0, window_size=8, optimize_every=3)
+    )
+    drive_square(slam, noise=0.01, rng=rng)
+    assert slam._prior is not None
+    n = len(slam.kf_poses)
+    # a deliberately off closure so the global pass actually moves poses
+    rel = np.linalg.inv(slam.kf_poses[0]) @ slam.kf_poses[n - 1]
+    rel[:3, 3] += [0.5, -0.3, 0.1]
+    slam.add_loop_closure(0, n - 1, rel)
+
+    def prior_deltas():
+        lin = np.asarray(slam._prior.lin_poses, dtype=np.float64)
+        ids = np.asarray(slam._prior.node_ids)
+        out = []
+        for k, g in enumerate(ids):
+            d = np.linalg.inv(lin[k]) @ slam.kf_poses[g]
+            out.append(np.asarray(se3.se3_log(
+                jnp.asarray(d.astype(np.float32)))))
+        return np.stack(out)
+
+    before = prior_deltas()
+    pre_poses = [p.copy() for p in slam.kf_poses]
+    slam.global_optimize()
+    moved = max(
+        np.linalg.norm(a[:3, 3] - b[:3, 3])
+        for a, b in zip(pre_poses, slam.kf_poses)
+    )
+    assert moved > 0.05  # the pass did move the trajectory
+    np.testing.assert_allclose(prior_deltas(), before, atol=1e-5)
+
+
+def test_closure_icp_polish_and_gate():
+    """cfg.closure_icp: accepted closure measurements are polished with
+    point-to-plane ICP against the keyframe range images and gated on
+    inlier fraction (ADVICE r4: icp_refine was tested but unused)."""
+    from efficientlo_net_tpu.config import SensorConfig
+    from efficientlo_net_tpu.ops.projection import project_to_range_image
+
+    sensor = SensorConfig(height=16, width=256, num_points=8192)
+    rng = np.random.default_rng(3)
+    pts = []
+    m = 16 * 8192 // 4
+    xy = rng.uniform(-8, 8, size=(m, 2))
+    pts.append(np.column_stack([xy, np.full(m, -1.5)]))
+    for wall in ((6.0, None, None), (None, -5.0, None), (None, 7.0, None)):
+        a = rng.uniform(-8, 8, m)
+        z = rng.uniform(-1.2, 1.2, m)
+        if wall[0] is not None:
+            pts.append(np.column_stack([np.full(m, wall[0]), a, z]))
+        else:
+            pts.append(np.column_stack([a, np.full(m, wall[1]), z]))
+    world = np.concatenate(pts).astype(np.float32)
+
+    def scan_from(pose):
+        local = (world - pose[:3, 3]) @ pose[:3, :3]
+        keep = np.linalg.norm(local[:, :2], axis=1) < 12.0
+        img, _ = project_to_range_image(
+            jnp.asarray(local[keep][None]), None, sensor.height,
+            sensor.width, sensor)
+        return np.asarray(img[0])
+
+    t_true = np.eye(4)
+    c, s = np.cos(0.03), np.sin(0.03)
+    t_true[:2, :2] = [[c, -s], [s, c]]
+    t_true[:3, 3] = [0.4, 0.15, 0.02]
+
+    slam = SlidingWindowSLAM(
+        SlamConfig(closure_icp=True, scan_max_dist=1.0,
+                   closure_icp_min_inliers=0.2, closure_icp_max_rms=0.05),
+        scan_sensor=sensor,
+    )
+    slam.kf_poses = [np.eye(4), t_true.copy()]
+    slam.kf_payloads = [scan_from(np.eye(4)), scan_from(t_true)]
+
+    pert = np.eye(4)
+    pert[:3, 3] = [0.08, -0.05, 0.02]
+    polished = slam._icp_polish(0, 1, t_true @ pert)
+    assert polished is not None
+    err0 = np.linalg.norm((t_true @ pert)[:3, 3] - t_true[:3, 3])
+    err1 = np.linalg.norm(polished[:3, 3] - t_true[:3, 3])
+    assert err1 < 0.25 * err0, (err0, err1)
+
+    # a wildly wrong measurement associates nothing -> gated out
+    far = np.eye(4)
+    far[:3, 3] = [40.0, 0.0, 0.0]
+    assert slam._icp_polish(0, 1, far) is None
+
+
+def test_detect_loop_closures_seeds_rel_init():
+    """detect_loop_closures passes the pose graph's own relative estimate
+    to a closure_fn that accepts ``rel_init`` (VERDICT r4 next-4: seeding
+    recovers revisit offsets outside the network's raw regime)."""
+    seen = []
+
+    def closure_fn(pj, pi, rel_init=None):
+        seen.append(rel_init)
+        return rel_init
+
+    slam = SlidingWindowSLAM(
+        SlamConfig(keyframe_distance=2.0, optimize_every=1000,
+                   closure_radius=6.0, closure_min_gap=5,
+                   closure_search_all=True),
+        closure_fn=closure_fn,
+    )
+    slam.set_initial_payload(np.zeros((2, 2, 3)))
+    drive_square(slam, side=12.0, payloads=True)
+    assert len(seen) > 0
+    assert all(r is not None and r.shape == (4, 4) for r in seen)
+    assert len(slam.closed_pairs) > 0

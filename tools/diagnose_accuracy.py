@@ -41,6 +41,58 @@ def quat_yaw_deg(q):
                                  1 - 2 * (y * y + z * z)))
 
 
+def quat_mul_np(a, b):
+    """Hamilton product of (N, 4) wxyz quaternion arrays."""
+    w1, x1, y1, z1 = a[:, 0], a[:, 1], a[:, 2], a[:, 3]
+    w2, x2, y2, z2 = b[:, 0], b[:, 1], b[:, 2], b[:, 3]
+    return np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+
+
+def quat_euler_zyx_deg(q):
+    """(yaw, pitch, roll) in degrees of unit quaternions (N, 4) wxyz."""
+    w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1.0, 1.0))
+    roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    return np.degrees(yaw), np.degrees(pitch), np.degrees(roll)
+
+
+def per_axis_rotation_stats(q_pred, q_gt):
+    """Yaw/pitch/roll decomposition of the rotation error (VERDICT r4
+    next-3: rotation is the weaker axis and nobody had split it).
+
+    For each axis: the GT motion scale, the error (pred relative to GT,
+    from the error quaternion q_pred x q_gt^-1), its bias and std, and the
+    regression slope pred ~ slope * gt (1.0 = perfectly tracked, 0 = the
+    net ignores that axis and predicts ~zero)."""
+    q_pred = q_pred / np.linalg.norm(q_pred, axis=-1, keepdims=True)
+    q_gt = q_gt / np.linalg.norm(q_gt, axis=-1, keepdims=True)
+    # hemisphere-align so the error quaternion is the small rotation
+    sign = np.sign(np.sum(q_pred * q_gt, axis=-1, keepdims=True))
+    q_pred = q_pred * np.where(sign == 0, 1.0, sign)
+    q_gt_inv = q_gt * np.array([1.0, -1.0, -1.0, -1.0])
+    q_err = quat_mul_np(q_pred, q_gt_inv)
+    err = np.stack(quat_euler_zyx_deg(q_err), axis=-1)       # (N, 3) deg
+    gt = np.stack(quat_euler_zyx_deg(q_gt), axis=-1)
+    pred = np.stack(quat_euler_zyx_deg(q_pred), axis=-1)
+    out = {}
+    for k, name in enumerate(("yaw", "pitch", "roll")):
+        g, p, e = gt[:, k], pred[:, k], err[:, k]
+        slope = float(np.sum(p * g) / max(np.sum(g * g), 1e-12))
+        out[name] = {
+            "gt_std_deg": float(g.std()),
+            "err_bias_deg": float(e.mean()),
+            "err_std_deg": float(e.std()),
+            "track_slope": slope,
+        }
+    return out
+
+
 def rotation_bias_stats(q_pred, q_gt):
     """Signed yaw decomposition: is the rotation error bias or noise?
 
@@ -99,6 +151,7 @@ def per_pair_stats(eval_step, params, stats, dataset, seq, frames, batch):
         "scale": scale,
         "n": int(len(t_err)),
         **rotation_bias_stats(q, qg),
+        "per_axis": per_axis_rotation_stats(q, qg),
     }
 
 
@@ -129,8 +182,9 @@ def main():
     stats = jax.device_get(trainer.state.batch_stats)
 
     report = {"step": int(trainer.state.step)}
-    for seq, tag in [(4, "train_seq4"), (6, "train_seq6"),
-                     (7, "eval_seq7"), (10, "holdout_seq10")]:
+    for seq, tag in [(1, "train_seq1_fast"), (4, "train_seq4"),
+                     (6, "train_seq6"), (7, "eval_seq7"),
+                     (10, "holdout_seq10"), (9, "holdout_seq9_fast")]:
         r = per_pair_stats(trainer.eval_step, params, stats,
                            trainer.dataset, seq, args.frames, args.batch)
         report[tag] = r
@@ -140,6 +194,12 @@ def main():
               f"motion {r['gt_motion_mean_m']:.3f} m "
               f"rel {r['rel_err_pct']:.1f}% scale {r['scale']:.4f}",
               flush=True)
+        ax = r["per_axis"]
+        print("  " + " | ".join(
+            f"{n}: gt_std {ax[n]['gt_std_deg']:.3f} err_std "
+            f"{ax[n]['err_std_deg']:.3f} bias {ax[n]['err_bias_deg']:+.4f} "
+            f"slope {ax[n]['track_slope']:.2f}"
+            for n in ("yaw", "pitch", "roll")), flush=True)
 
     # BN ablation: batch-stats BN (training=True path) with dropout disabled
     import dataclasses

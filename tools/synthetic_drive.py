@@ -46,17 +46,32 @@ TR = np.array(
 )
 TR4 = np.vstack([TR, [0.0, 0.0, 0.0, 1.0]])
 
-# train drives must cover the eval drive's regime: mostly-straight cruising,
-# constant-rate cornering (speed/radius up to ~4.4 deg/frame), varied speeds
+# train drives must cover the eval drives' regime: mostly-straight cruising,
+# constant-rate cornering (speed/radius up to ~4.4 deg/frame), varied speeds,
+# AND the KITTI fast regime (seq-01-style 1.5-2.8 m/frame highway motion)
 TRAIN_SPECS = [
+    (1, "wander", dict(speed=2.0), 99),     # 1101 frames, fast regime
     (3, "wander", dict(speed=0.9), 100),    # 801 frames
     (4, "wander", dict(speed=0.7), 101),    # 271 frames
     (6, "loop", dict(speed=0.85, radius=11.0), 102),  # 1101 frames
 ]
 TRAIN_SEQS = [s for s, *_ in TRAIN_SPECS]
+# checkpoint selection uses its OWN drive (reference main.py:227-249 selects
+# on val sequences and reports test sequences) — the eval loop and the
+# holdout drives below are never part of the selection signal
+VAL_SEQ = 5           # 2761 frames, wander (selection only)
+VAL_SPEC = (VAL_SEQ, "wander", dict(speed=0.8), 105)
 EVAL_SEQ = 7          # 1101 frames, closed loop (out-of-distribution style)
 HOLDOUT_SEQ = 10      # 1201 frames, wander (in-distribution style, new world)
-HOLDOUT_SPEC = (HOLDOUT_SEQ, "wander", dict(speed=0.75), 110)
+HOLDOUT_FAST_SEQ = 9  # 1591 frames, highway (KITTI seq-01-speed holdout)
+HOLDOUT_SPECS = [
+    (HOLDOUT_SEQ, "wander", dict(speed=0.75), 110),
+    (HOLDOUT_FAST_SEQ, "highway", dict(speed=2.2), 109),
+]
+EVAL_SPEC = (EVAL_SEQ, "loop", dict(speed=0.6), 7)
+SPEC_BY_SEQ = {s: (kind, kw, seed)
+               for s, kind, kw, seed in
+               TRAIN_SPECS + HOLDOUT_SPECS + [VAL_SPEC, EVAL_SPEC]}
 
 
 def seq_frames(seq: int) -> int:
@@ -78,9 +93,15 @@ def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
     t0 = time.time()
     traj = synthetic_trajectory(n, rng, kind=kind, **traj_kwargs)
     world = build_world(traj, rng)
-    renderer = DriveRenderer(world)
-    print(f"seq {name}: {n} frames, world {len(world)} pts "
-          f"({time.time() - t0:.0f}s)", flush=True)
+    # moving vehicles (~1 encounter per 120 frames) AFTER build_world so the
+    # static world stays reproducible from the seed (_map_accuracy)
+    from efficientlo_net_tpu.data.synthetic import make_dynamic_objects
+
+    dynamics = make_dynamic_objects(traj, rng, max(4, n // 120))
+    renderer = DriveRenderer(world, dynamics=dynamics)
+    print(f"seq {name}: {n} frames, world {len(world)} pts, "
+          f"{len(dynamics)} moving objects ({time.time() - t0:.0f}s)",
+          flush=True)
 
     with open(os.path.join(seq_dir, "calib.txt"), "w") as f:
         f.write("P0: " + " ".join(["0"] * 12) + "\n")
@@ -101,7 +122,7 @@ def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
             diffs[:, :3, :].reshape(n, 12))
 
     for i in range(n):
-        scan = renderer.render(traj[i], num_points, rng)
+        scan = renderer.render(traj[i], num_points, rng, frame=i)
         pad = np.zeros((num_points, 4), dtype=np.float32)
         pad[:, :3] = scan
         pad.tofile(os.path.join(seq_dir, "velodyne", f"{i:06d}.bin"))
@@ -113,11 +134,13 @@ def generate_sequence(root: str, gt_dir: str, seq: int, kind: str,
 def stage_gen(args):
     cfg = _model_cfg()
     n_pts = cfg.sensor.num_points
-    for seq, kind, kwargs, seed in TRAIN_SPECS + [HOLDOUT_SPEC]:
+    specs = TRAIN_SPECS + HOLDOUT_SPECS + [VAL_SPEC, EVAL_SPEC]
+    if args.gen_seqs:
+        want = {int(s) for s in args.gen_seqs.split(",")}
+        specs = [s for s in specs if s[0] in want]
+    for seq, kind, kwargs, seed in specs:
         generate_sequence(args.root, args.gt_dir, seq, kind,
                           num_points=n_pts, seed=seed, **kwargs)
-    generate_sequence(args.root, args.gt_dir, EVAL_SEQ, "loop",
-                      num_points=n_pts, seed=7, speed=0.6)
 
 
 def _model_cfg():
@@ -139,7 +162,7 @@ def _trainer(args):
     )
     return Trainer(
         _model_cfg(), tcfg, data_root=args.root, log_dir=args.log_dir,
-        gt_dir=args.gt_dir, train_list=TRAIN_SEQS, val_list=[EVAL_SEQ],
+        gt_dir=args.gt_dir, train_list=TRAIN_SEQS, val_list=[VAL_SEQ],
         use_mesh=False,
     )
 
@@ -189,27 +212,77 @@ def stage_eval(args, trainer=None):
         trained_epochs = max(trainer.start_epoch, args.epochs)
     params = jax.device_get(trainer.state.params)
     stats = jax.device_get(trainer.state.batch_stats)
-    seqs = [EVAL_SEQ]
-    if os.path.isdir(os.path.join(args.root, SEQ_NAMES[HOLDOUT_SEQ])):
-        seqs.append(HOLDOUT_SEQ)
+    keys = [(EVAL_SEQ, "odometry"), (HOLDOUT_SEQ, "odometry_holdout"),
+            (HOLDOUT_FAST_SEQ, "odometry_holdout_fast")]
+    seqs = [s for s, _ in keys
+            if os.path.isdir(os.path.join(args.root, SEQ_NAMES[s]))]
     results = evaluate_sequences(
         trainer.eval_step, params, stats, trainer.dataset, seqs,
         gt_dir=args.gt_dir, result_dir=args.result_dir, batch_size=args.batch,
         make_plots=True,
     )
     out = {}
-    for seq, key in [(EVAL_SEQ, "odometry"), (HOLDOUT_SEQ, "odometry_holdout")]:
+    for seq, key in keys:
         if seq in results:
             res = results[seq]
             out[key] = {"t_rel": res.t_rel, "r_rel": res.r_rel,
                         "ate_m": res.ate_m}
+    hold = [out[k] for k in ("odometry_holdout", "odometry_holdout_fast")
+            if k in out]
+    if hold:
+        # the headline number: mean over the selection-untouched drives,
+        # analogous to the reference's mean over test seqs 07-10
+        out["holdout_mean"] = {
+            "t_rel": float(np.mean([h["t_rel"] for h in hold])),
+            "r_rel": float(np.mean([h["r_rel"] for h in hold])),
+        }
     _merge_report(args, out, trained_epochs=trained_epochs)
     print(json.dumps(out))
     return trainer
 
 
+def stage_val(args, trainer=None):
+    """Evaluate the selection drive only; append to ``val_history``.
+
+    Selection hygiene: this — not the eval loop or the holdouts — is the
+    only number checkpoint selection may look at.
+    """
+    import jax
+
+    from efficientlo_net_tpu.evaluation.runner import evaluate_sequences
+
+    if trainer is None:
+        trainer = _trainer(args)
+        trainer.restore()
+    trained_epochs = max(trainer.start_epoch, 0)
+    params = jax.device_get(trainer.state.params)
+    stats = jax.device_get(trainer.state.batch_stats)
+    results = evaluate_sequences(
+        trainer.eval_step, params, stats, trainer.dataset, [VAL_SEQ],
+        gt_dir=args.gt_dir, result_dir=os.path.join(args.result_dir, "val"),
+        batch_size=args.batch,
+    )
+    res = results[VAL_SEQ]
+    path = os.path.join(REPO, "docs", "synthetic_drive.json")
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    hist = [h for h in data.get("val_history", [])
+            if h.get("epochs") != trained_epochs]
+    hist.append({"epochs": trained_epochs, "val_seq": VAL_SEQ,
+                 "t_rel": round(res.t_rel, 3), "r_rel": round(res.r_rel, 3)})
+    data["val_history"] = sorted(hist, key=lambda h: h["epochs"])
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+    print(json.dumps({"val": {"t_rel": res.t_rel, "r_rel": res.r_rel,
+                              "epochs": trained_epochs}}))
+    return trainer
+
+
 def stage_slam(args, trainer=None):
-    """Replay the eval sequence through streaming odometry + SLAM."""
+    """Replay a sequence (``--slam_seq``, default the eval loop) through
+    streaming odometry + SLAM."""
     import jax
 
     from efficientlo_net_tpu.backend.slam import SlamConfig, SlidingWindowSLAM
@@ -236,21 +309,31 @@ def stage_slam(args, trainer=None):
 
     variables = variables_from_train_state(trainer.state)
     stream = OdometryStream(trainer.model, variables, cfg)
+    seq = args.slam_seq if args.slam_seq is not None else EVAL_SEQ
+    suffix = "" if seq == EVAL_SEQ else (
+        "_holdout" if seq == HOLDOUT_SEQ else f"_seq{seq}")
 
     closure_log = []
 
-    def closure_fn(img_j, img_i):
+    def closure_fn(img_j, img_i, rel_init=None):
         # re-measure candidate keyframe pairs with the odometry network via
         # iterated warp-and-measure (OdometryStream.measure_relative): the
         # raw network only sees consecutive-frame motion in training, so a
         # revisit pair (meters apart) is measured by warping one frame into
         # the other's estimate and re-measuring the residual.  Convention:
         # closure_fn(payload_j, payload_i) must return kf_j_T_kf_i.
-        fwd = stream.measure_relative(img_j, img_i, refinements=2)
+        # ``rel_init`` (the pose graph's own relative estimate, supplied by
+        # detect_loop_closures) seeds the iteration: a revisit offset of
+        # several meters sits outside the raw network's measurable regime,
+        # but the residual after warping by the graph estimate is within it.
+        fwd = stream.measure_relative(img_j, img_i, t_init=rel_init,
+                                      refinements=3)
         # acceptance gate: the reverse measurement must invert the forward
         # one.  A pair outside the measurable regime (occlusion, aperture)
         # produces directionally inconsistent estimates and is rejected.
-        bwd = stream.measure_relative(img_i, img_j, refinements=2)
+        binit = None if rel_init is None else np.linalg.inv(rel_init)
+        bwd = stream.measure_relative(img_i, img_j, t_init=binit,
+                                      refinements=3)
         gap = fwd @ bwd
         t_err = float(np.linalg.norm(gap[:3, 3]))
         r_err = float(np.degrees(np.arccos(
@@ -285,13 +368,22 @@ def stage_slam(args, trainer=None):
     )
 
     ds = trainer.dataset
-    n = seq_frames(EVAL_SEQ)
+    n = seq_frames(seq)
     # replay cache: the stream's per-frame (q, t) and range images are a
     # pure function of the scans + weights — persist them next to the
-    # dataset so SLAM-side experiments don't re-run the network
+    # dataset so SLAM-side experiments don't re-run the network.  The cache
+    # key includes a weights fingerprint: after a retrain, a name-only key
+    # would silently replay the OLD network's odometry while closure_fn
+    # measures with the new weights (mixed-model numbers).
+    import hashlib
+
+    h = hashlib.sha1()
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(variables)):
+        h.update(np.ascontiguousarray(leaf).tobytes())
+    fp = h.hexdigest()[:10]
     cache_dir = os.path.join(os.path.dirname(args.root.rstrip("/")), "replay")
-    qt_path = os.path.join(cache_dir, f"qt{SEQ_NAMES[EVAL_SEQ]}.npz")
-    proj_path = os.path.join(cache_dir, f"proj{SEQ_NAMES[EVAL_SEQ]}.npy")
+    qt_path = os.path.join(cache_dir, f"qt{SEQ_NAMES[seq]}_{fp}.npz")
+    proj_path = os.path.join(cache_dir, f"proj{SEQ_NAMES[seq]}_{fp}.npy")
     cached = os.path.isfile(qt_path) and os.path.isfile(proj_path)
     if cached:
         blob = np.load(qt_path)
@@ -312,7 +404,7 @@ def stage_slam(args, trainer=None):
         if cached:
             q, t = qs_all[i], ts_all[i]
         else:
-            scan = ds.read_scan(EVAL_SEQ, i)
+            scan = ds.read_scan(seq, i)
             q, t = stream.push(scan)
             qs_all[i], ts_all[i] = np.asarray(q), np.asarray(t)
             projs[i] = np.asarray(stream.last_projection)[0]
@@ -370,7 +462,7 @@ def stage_slam(args, trainer=None):
     refined = reanchor(np.stack(slam.kf_poses))
 
     # score both trajectories with the same RPE protocol
-    name = SEQ_NAMES[EVAL_SEQ]
+    name = SEQ_NAMES[seq]
     gt = load_poses(os.path.join(args.gt_dir, f"{name}.txt"))
 
     def to_cam_rows(poses):
@@ -382,41 +474,43 @@ def stage_slam(args, trainer=None):
 
     map_pts = slam.render_map(voxel=0.3, max_range=30.0)
     os.makedirs(args.result_dir, exist_ok=True)
-    save_map_ply(os.path.join(args.result_dir, "map.ply"), map_pts)
+    save_map_ply(os.path.join(args.result_dir, f"map{suffix}.ply"), map_pts)
     _plot_map(map_pts, np.stack(slam.kf_poses),
-              os.path.join(REPO, "docs", "synthetic_drive_map.png"))
+              os.path.join(REPO, "docs", f"synthetic_drive_map{suffix}.png"))
 
     # map accuracy against the true world (deterministically rebuilt from
     # the generation seed); the SLAM frame is frame 0's lidar frame, so
     # re-anchor with the true world_T_frame0 before comparing
-    map_err = _map_accuracy(map_pts)
+    map_err = _map_accuracy(map_pts, seq)
 
     def score(poses):
         res = evaluate_sequence(gt, to_cam_rows(poses), seq=name)
         ate = KM.absolute_trajectory_error(gt, to_cam_rows(poses), align=False)
         return {"t_rel": res.t_rel, "r_rel": res.r_rel, "ate_m": ate}
 
-    slam_key = "slam_refined_robust" if args.robust else "slam_refined"
+    slam_key = ("slam_refined_robust" if args.robust else "slam_refined") + suffix
     out = {
-        "streaming_odometry": score(np.stack(raw_poses)),
+        "streaming_odometry" + suffix: score(np.stack(raw_poses)),
         # sliding-window only (online estimate, before the batch PGO pass)
-        "slam_window": score(refined_window),
+        "slam_window" + suffix: score(refined_window),
         # window + global pose-graph over the full factor archive
         slam_key: score(refined),
-        "keyframes": int(len(slam.kf_poses)),
-        "loop_closures": closures,
-        "closure_candidates": closure_log,
+        "keyframes" + suffix: int(len(slam.kf_poses)),
+        "loop_closures" + suffix: closures,
+        "closure_candidates" + suffix: closure_log,
         "scan_factors": bool(args.scan_factors),
         "slam_trained_epochs": int(slam_epochs),
-        "map_points": int(len(map_pts)),
-        "map_median_dist_m": map_err,
+        "map_points" + suffix: int(len(map_pts)),
+        "map_median_dist_m" + suffix: map_err,
     }
     _merge_report(args, out)
     print(json.dumps(out))
 
 
-def _map_accuracy(map_pts: np.ndarray) -> float:
-    """Median distance (m) from fused-map points to the true world surface."""
+def _map_accuracy(map_pts: np.ndarray, seq: int = EVAL_SEQ) -> float:
+    """Median distance (m) from fused-map points to the true world surface
+    (the static world deterministically rebuilt from the generation seed —
+    dynamic-object returns in the map count as error, as they should)."""
     if not len(map_pts):
         return float("nan")
     from scipy.spatial import cKDTree
@@ -424,9 +518,9 @@ def _map_accuracy(map_pts: np.ndarray) -> float:
     from efficientlo_net_tpu.data.synthetic import (
         build_world, synthetic_trajectory)
 
-    rng = np.random.default_rng(7)  # the eval sequence's generation seed
-    traj = synthetic_trajectory(seq_frames(EVAL_SEQ), rng, kind="loop",
-                                speed=0.6)
+    kind, kwargs, seed = SPEC_BY_SEQ[seq]
+    rng = np.random.default_rng(seed)
+    traj = synthetic_trajectory(seq_frames(seq), rng, kind=kind, **kwargs)
     world = build_world(traj, rng)
     anchored = map_pts @ traj[0][:3, :3].T + traj[0][:3, 3]
     d, _ = cKDTree(world).query(anchored, workers=-1)
@@ -487,7 +581,8 @@ def _merge_report(args, new: dict, trained_epochs: int = None):
     if trained_epochs is not None:
         # a fresh eval defines the current odometry rows; rows the new eval
         # did not produce (e.g. the holdout sequence was absent) are stale
-        for k in ("odometry", "odometry_holdout"):
+        for k in ("odometry", "odometry_holdout", "odometry_holdout_fast",
+                  "holdout_mean"):
             if k not in new:
                 data.pop(k, None)
     data.update(new)
@@ -505,14 +600,16 @@ def _merge_report(args, new: dict, trained_epochs: int = None):
                 and h.get("epochs") != trained_epochs]
         hist.append({"epochs": trained_epochs, "train_seqs": TRAIN_SEQS,
                      **{k: round(new[k]["t_rel"], 3)
-                        for k in ("odometry", "odometry_holdout")
+                        for k in ("odometry", "odometry_holdout",
+                                  "odometry_holdout_fast")
                         if k in new}})
         data["history"] = sorted(hist, key=lambda h: h["epochs"])
         if len(data["history"]) > 1:
             _plot_curve(data["history"],
                         os.path.join(REPO, "docs", "synthetic_drive_curve.png"))
     cfg = {
-        "train_seqs": TRAIN_SEQS, "eval_seq": EVAL_SEQ,
+        "train_seqs": TRAIN_SEQS, "val_seq": VAL_SEQ, "eval_seq": EVAL_SEQ,
+        "holdout_seqs": [s for s, *_ in HOLDOUT_SPECS],
         "requested_epochs": args.epochs, "batch": args.batch,
         "lr_decay_step": args.lr_decay_step,
         "lr_decay_rate": args.lr_decay_rate,
@@ -545,11 +642,20 @@ def _write_md(data: dict):
         "|---|---|---|---|",
     ]
     for key, label in [
+        ("holdout_mean", "**holdout mean** (selection-untouched drives)"),
         ("odometry_holdout", "holdout wander drive, batched eval"),
+        ("odometry_holdout_fast",
+         "holdout fast highway drive (1.5-2.8 m/frame), batched eval"),
         ("odometry", "loop drive, batched eval (network only)"),
         ("streaming_odometry", "loop drive, streaming odometry"),
         ("slam_refined", "loop drive, SLAM-refined (scan factors + closures)"),
         ("slam_refined_robust", "loop drive, SLAM-refined (GM robust kernel)"),
+        ("streaming_odometry_holdout", "holdout wander, streaming odometry"),
+        ("slam_window_holdout",
+         "holdout wander, SLAM window (no-closure regime)"),
+        ("slam_refined_holdout", "holdout wander, SLAM-refined (global PGO)"),
+        ("slam_refined_robust_holdout",
+         "holdout wander, SLAM-refined (GM robust kernel)"),
     ]:
         if key in data:
             ate = data[key].get("ate_m")
@@ -558,16 +664,20 @@ def _write_md(data: dict):
                 f"{data[key]['r_rel']:.3f} | "
                 f"{'-' if ate is None else f'{ate:.3f}'} |"
             )
+    bar = ("reference bar (mean over KITTI test seqs 07-10, doc/result.png):"
+           " t_rel 0.795 / r_rel 0.395")
+    lines += ["", bar]
     if data.get("history"):
         lines += [
             "",
             "Learning curve (t_rel % vs training epochs):",
             "",
-            "| epochs | loop drive | holdout drive |",
-            "|---|---|---|",
+            "| epochs | loop drive | holdout wander | holdout fast |",
+            "|---|---|---|---|",
         ] + [
             f"| {h['epochs']} | {h.get('odometry', '-')} | "
-            f"{h.get('odometry_holdout', '-')} |"
+            f"{h.get('odometry_holdout', '-')} | "
+            f"{h.get('odometry_holdout_fast', '-')} |"
             for h in data["history"]
         ]
         if len(data["history"]) > 1:
@@ -611,7 +721,14 @@ def _write_md(data: dict):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="all",
-                    choices=["gen", "train", "eval", "slam", "all"])
+                    choices=["gen", "train", "val", "eval", "slam", "all"])
+    ap.add_argument("--gen_seqs", default=None,
+                    help="comma-separated subset of sequences for --stage "
+                         "gen (default: all specs)")
+    ap.add_argument("--slam_seq", type=int, default=None,
+                    help="sequence for --stage slam (default: the eval "
+                         "loop; the holdout wander exercises the "
+                         "no-closure regime)")
     ap.add_argument("--root", default="/root/drive_data/dataset")
     ap.add_argument("--gt_dir", default="/root/drive_data/ground_truth_pose")
     ap.add_argument("--log_dir", default="/root/drive_data/log")
@@ -660,6 +777,8 @@ def main():
         stage_gen(args)
     if args.stage in ("train", "all"):
         trainer = stage_train(args)
+    if args.stage == "val":
+        trainer = stage_val(args, trainer)
     if args.stage in ("eval", "all"):
         trainer = stage_eval(args, trainer)
     if args.stage in ("slam", "all"):
