@@ -227,6 +227,11 @@ class TrainConfig:
     # auto stays off without the native library.
     host_projection: Optional[bool] = None
 
+    # Decoded-scan RAM cache in the training dataset (data/kitti.py): each
+    # scan is decoded twice per epoch, every epoch; the whole split fits in
+    # host RAM at ~1.8 MB/scan.
+    cache_decoded_scans: bool = True
+
     def resolved_host_projection(self) -> bool:
         """Tri-state resolution of ``host_projection`` (None = auto)."""
         if self.host_projection is not None:

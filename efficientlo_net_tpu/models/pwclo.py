@@ -215,10 +215,28 @@ class PWCLONet(nn.Module):
         stochastic: bool = False,
         ring_mesh=None,
     ) -> Dict[str, Any]:
-        f1 = self._pyramid(proj_f1, training, bn_momentum, stochastic,
-                           ring_mesh=ring_mesh)
-        f2 = self._pyramid(proj_f2, training, bn_momentum, stochastic,
-                           ring_mesh=ring_mesh)
+        if not training:
+            # Merged Siamese tower: one 2B-batch pyramid instead of two
+            # B-batch ones.  The coarse-grid neighbor selects are
+            # launch-bound, not work-bound (docs/perf_breakdown.json:
+            # ~1.2 ms/dispatch floor at <4k centers, measured for BOTH the
+            # Pallas and XLA formulations), so halving the number of select
+            # dispatches saves ~4 launches/pair.  Eval-mode BN reads EMA
+            # stats and every pyramid op is elementwise-independent across
+            # the batch, so the merged tower is bit-identical to two
+            # separate ones.  Training keeps separate towers: batch-stats
+            # BN over a 2B batch would change the normalization statistics.
+            b = proj_f1.shape[0]
+            both = jnp.concatenate([proj_f1, proj_f2], axis=0)
+            fb = self._pyramid(both, training, bn_momentum, stochastic,
+                               ring_mesh=ring_mesh)
+            f1 = [tuple(t[:b] for t in lvl) for lvl in fb]
+            f2 = [tuple(t[b:] for t in lvl) for lvl in fb]
+        else:
+            f1 = self._pyramid(proj_f1, training, bn_momentum, stochastic,
+                               ring_mesh=ring_mesh)
+            f2 = self._pyramid(proj_f2, training, bn_momentum, stochastic,
+                               ring_mesh=ring_mesh)
         return self.forward_from_pyramids(
             f1, f2, training, bn_momentum, stochastic
         )

@@ -70,7 +70,9 @@ class Trainer:
         self.start_epoch = 0  # advanced by restore()
 
         self.dataset = OdometryDataset(
-            data_root, num_points=model_cfg.sensor.num_points, gt_pose_dir=self.gt_dir
+            data_root, num_points=model_cfg.sensor.num_points,
+            gt_pose_dir=self.gt_dir,
+            cache_scans=train_cfg.cache_decoded_scans,
         )
         self.model = PWCLONet(model_cfg)
         import time as _time

@@ -164,3 +164,27 @@ def test_preprocess_crop_and_validity():
     np.testing.assert_allclose(p1[1], [0, 0, 0])
     np.testing.assert_allclose(p1[2], [0, 0, 0])
     np.testing.assert_allclose(p1[3], [0, 0, 5.0])
+
+
+def test_merged_eval_tower_matches_separate_pyramids(model_and_vars):
+    """Eval-mode __call__ runs ONE 2B-batch Siamese tower (halving the
+    launch-bound neighbor-select dispatches, docs/perf_breakdown.json);
+    EMA-BN makes it bit-identical to two separate towers."""
+    model, variables, p1, p2 = model_and_vars
+    merged = jit_eval_apply(model)(variables, p1, p2)
+    pyr1 = jax.jit(
+        lambda v, p: model.apply(v, p, False, 0.99, False,
+                                 method=model._pyramid)
+    )(variables, p1)
+    pyr2 = jax.jit(
+        lambda v, p: model.apply(v, p, False, 0.99, False,
+                                 method=model._pyramid)
+    )(variables, p2)
+    sep = jax.jit(
+        lambda v, a, b: model.apply(v, a, b, training=False,
+                                    method=model.forward_from_pyramids)
+    )(variables, pyr1, pyr2)
+    np.testing.assert_array_equal(np.asarray(merged["q"][0]),
+                                  np.asarray(sep["q"][0]))
+    np.testing.assert_array_equal(np.asarray(merged["t"][0]),
+                                  np.asarray(sep["t"][0]))
