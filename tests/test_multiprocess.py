@@ -273,15 +273,18 @@ def test_two_process_checkpointing(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     outs = _run_children(child, ckpt_dir, repo)
-    if not all(f"CHILD {i} OK" in out for i, out in enumerate(outs)) and any(
-        "BarrierError" in out or "CoordinationServiceError" in out
-        or "DEADLINE_EXCEEDED" in out
-        for out in outs
-    ):
+    retryable = ("BarrierError", "CoordinationServiceError",
+                 "DEADLINE_EXCEEDED", "Gloo", "PollForError")
+    for _ in range(2):
         # coordination barriers carry fixed wall-clock timeouts; on this
         # 4-CPU host a pytest-xdist + compile storm can starve one child past
         # them.  That is environment contention, not a checkpointing bug —
-        # retry once on a quieter machine state before judging.
+        # retry on a quieter machine state before judging (two retries, like
+        # the sharded-train-step test: one starved child restarts the clock).
+        if all(f"CHILD {i} OK" in out for i, out in enumerate(outs)) or not any(
+            any(pat in out for pat in retryable) for out in outs
+        ):
+            break
         import shutil
 
         shutil.rmtree(ckpt_dir, ignore_errors=True)

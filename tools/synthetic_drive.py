@@ -5,15 +5,23 @@ Generates persistent-world drive sequences in the real KITTI tree layout
 then runs the complete production stack at full 64x1800 / 150k-point
 resolution on TPU:
 
-  1. gen    — build worlds + render scans for the train seqs (03/04
-              wander, 06 a wide training loop) and the eval seq (07, a
-              closed loop);
+  1. gen    — build worlds + render scans (occlusion-aware z-buffer +
+              analytic ray-cast ground, moving vehicles, per-return
+              dropout, 3-axis attitude) for the train seqs (01 fast
+              wander, 03/04 wander, 06 a wide training loop), the
+              selection drive (05), the eval loop (07), and the holdout
+              drives (10 wander, 09 fast highway at 1.5-2.8 m/frame);
   2. train  — Trainer epochs over the train split;
-  3. eval   — evaluate_sequences: batched inference -> trajectory ->
-              KITTI RPE metrics (t_rel / r_rel) + plots + error dumps;
-  4. slam   — replay the eval sequence through OdometryStream and the
-              sliding-window SLAM backend (scan factors + automatic loop
-              closure), re-evaluate the refined trajectory.
+  3. val    — evaluate the SELECTION drive only (best-checkpoint signal;
+              never the eval/holdout drives — reference main.py:227-249
+              val/test separation);
+  4. eval   — evaluate_sequences on the eval loop + both holdouts:
+              batched inference -> trajectory -> KITTI RPE metrics
+              (t_rel / r_rel) + plots + error dumps;
+  5. slam   — replay a sequence (--slam_seq; default the eval loop)
+              through OdometryStream and the sliding-window SLAM backend
+              (scan factors + automatic loop closure), re-evaluate the
+              refined trajectory.
 
 Writes docs/synthetic_drive.{md,json}.
 
