@@ -98,7 +98,14 @@ class CheckpointManager:
         step ships the whole host pytree in one transfer instead.  Callers
         that shard the state over a mesh re-place it afterwards
         (Trainer.restore -> replicate_state)."""
-        target = jax.device_get(state)
+        # abstract target: shapes/dtypes only — a concrete target would be
+        # jax.device_get(state), i.e. ~1700 leaves pulled through the
+        # tunnel before the restore even starts (observed to wedge
+        # indefinitely on a degraded tunnel; pure host restore cannot)
+        target = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype),
+            state,
+        )
         try:
             cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
