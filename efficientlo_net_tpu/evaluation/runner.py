@@ -31,6 +31,7 @@ def predict_sequence(
     seq: int,
     batch_size: int = 8,
     num_workers: int = 4,
+    progress=None,
 ) -> tuple:
     """Runs the jitted eval step over every frame pair of a sequence.
 
@@ -46,8 +47,12 @@ def predict_sequence(
         dataset, idxs, batch_size, training=False,
         num_workers=num_workers, drop_last=False,
     )
+    from ..data.loader import quantize_points
+
     quats, trans = [], []
-    for batch in loader.epoch(0):
+    for bi, batch in enumerate(loader.epoch(0)):
+        if progress is not None and bi % 40 == 0:
+            progress(f"seq {seq} eval batch {bi}")
         bsz = batch["pc1"].shape[0]
         if bsz < batch_size:  # pad to the compiled batch shape
             pad = batch_size - bsz
@@ -55,6 +60,12 @@ def predict_sequence(
                 k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)])
                 for k, v in batch.items()
             }
+        # int16 transfer (1.25 mm LSB, same as training's
+        # quantized_transfer): 4x fewer host->device bytes — the eval
+        # bottleneck on a bandwidth-limited tunnel; the jitted step
+        # dequantizes (training/step.py _forward_inputs)
+        batch = dict(batch, pc1=quantize_points(batch["pc1"]),
+                     pc2=quantize_points(batch["pc2"]))
         out = eval_step(
             params, batch_stats, {k: jnp.asarray(v) for k, v in batch.items()}
         )
@@ -74,6 +85,7 @@ def predict_sequence_streaming(
     seq: int,
     batch_size: int = 8,
     num_workers: int = 4,
+    progress=None,
 ) -> tuple:
     """Pyramid-cached sequence prediction: each scan is read, projected and
     encoded ONCE; consecutive pyramids are correlated in shifted batches.
@@ -106,10 +118,14 @@ def predict_sequence_streaming(
         # (asynchronously dispatched) encode/correlate of the current block
         pending = reader.submit(read_block, 0)
         for s in range(0, n, batch_size):
+            if progress is not None and (s // batch_size) % 40 == 0:
+                progress(f"seq {seq} eval frame {s}/{n}")
             block, bsz = pending.result()
             if s + batch_size < n:
                 pending = reader.submit(read_block, s + batch_size)
-            pts = jnp.asarray(block)
+            from ..data.loader import quantize_points
+
+            pts = jnp.asarray(quantize_points(block))  # int16 transfer
 
             pyr = encode_step(params, batch_stats, pts)
             if prev_tail is None:  # frame 0 pairs with itself
@@ -157,11 +173,12 @@ def evaluate_sequences(
         if stream_fns is not None:
             q, t = predict_sequence_streaming(
                 stream_fns[0], stream_fns[1], params, batch_stats,
-                dataset, seq, batch_size,
+                dataset, seq, batch_size, progress=log,
             )
         else:
             q, t = predict_sequence(
-                eval_step, params, batch_stats, dataset, seq, batch_size
+                eval_step, params, batch_stats, dataset, seq, batch_size,
+                progress=log,
             )
         rows = integrate_sequence(q, t, tr)
         if result_dir is not None:

@@ -316,7 +316,11 @@ def stage_slam(args, trainer=None):
     from efficientlo_net_tpu.pretrained import variables_from_train_state
 
     variables = variables_from_train_state(trainer.state)
-    stream = OdometryStream(trainer.model, variables, cfg)
+    # host projection: the native projector renders each scan's range image
+    # on CPU and ships the dense image instead of raw points — less tunnel
+    # traffic and no on-device scatter during the replay
+    stream = OdometryStream(trainer.model, variables, cfg,
+                            host_projection=True)
     seq = args.slam_seq if args.slam_seq is not None else EVAL_SEQ
     suffix = "" if seq == EVAL_SEQ else (
         "_holdout" if seq == HOLDOUT_SEQ else f"_seq{seq}")
