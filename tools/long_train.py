@@ -83,7 +83,22 @@ def main():
     extra = args.extra.split() if args.extra else []
     t0 = time.time()
     stopped = False
+
+    def milestone_recorded(m):
+        """True if this milestone's val point already exists — a restarted
+        driver (supervisor recovery) must not re-run finished stages."""
+        path = os.path.join(REPO, "docs", "synthetic_drive.json")
+        try:
+            with open(path) as f:
+                hist = json.load(f).get("val_history", [])
+        except (OSError, ValueError):
+            return False
+        return any(h.get("epochs") == m for h in hist)
+
     for m in [int(x) for x in args.milestones.split(",")]:
+        if milestone_recorded(m) and epochs_completed(args.log_dir) >= m:
+            print(f"milestone {m} already recorded — skipping", flush=True)
+            continue
         while (cur := epochs_completed(args.log_dir)) < m:
             if args.deadline_s and time.time() - t0 > args.deadline_s:
                 print(f"deadline reached at epoch {cur} — stopping before "
@@ -101,7 +116,7 @@ def main():
         # the last few epoch checkpoints, and selection may pick ANY
         # milestone after the fact
         run([sys.executable, "-u", os.path.join("tools", "export_pretrained.py"),
-             "--name", f"synthetic_drive_{m}ep"])
+             "--name", "synthetic_drive"])
         print(f"milestone {m} done ({time.time() - t0:.0f}s)", flush=True)
     if args.select:
         ep, tr = best_val_epoch()

@@ -46,6 +46,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cach
 # positive threshold silently disables persistence on the tunnel backend
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
+import faulthandler
+import signal
+
+# stack dump on demand (kill -USR1 <pid>): the remote-TPU tunnel can wedge
+# a process mid-RPC; this makes the hang diagnosable from outside
+faulthandler.register(signal.SIGUSR1, all_threads=True)
+
 from efficientlo_net_tpu.data.kitti import SEQ_LENGTH_TABLE, SEQ_NAMES
 
 # camera = R_C2L^-1 * lidar, the standard KITTI axis swap
