@@ -39,7 +39,7 @@ def epochs_completed(log_dir: str) -> int:
     return best + 1
 
 
-def run(cmd: list, retries: int = 1) -> None:
+def run(cmd: list, retries: int = 5) -> None:
     for attempt in range(retries + 1):
         print("+", " ".join(cmd), flush=True)
         r = subprocess.run(cmd, cwd=REPO)

@@ -48,10 +48,35 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import faulthandler
 import signal
+import threading
 
 # stack dump on demand (kill -USR1 <pid>): the remote-TPU tunnel can wedge
 # a process mid-RPC; this makes the hang diagnosable from outside
 faulthandler.register(signal.SIGUSR1, all_threads=True)
+
+
+def start_stall_watchdog(log_path, limit_s=300.0):
+    """Abort the process (exit 17) when the training log stops moving.
+
+    The remote-TPU tunnel occasionally wedges a single client mid-RPC
+    (device_get blocks forever while fresh processes work fine; stack
+    captured in round 5).  All stages heartbeat ``log_path``; if it goes
+    quiet past ``limit_s`` the process self-aborts so the chunked driver
+    can retry with a fresh client.  Daemon thread."""
+
+    def loop():
+        while True:
+            time.sleep(30)
+            try:
+                age = time.time() - os.path.getmtime(log_path)
+            except OSError:
+                continue
+            if age > limit_s:
+                print(f'WATCHDOG: log quiet {age:.0f}s -- aborting for a '
+                      f'clean retry (exit 17)', flush=True)
+                os._exit(17)
+
+    threading.Thread(target=loop, daemon=True).start()
 
 from efficientlo_net_tpu.data.kitti import SEQ_LENGTH_TABLE, SEQ_NAMES
 
@@ -234,7 +259,7 @@ def stage_eval(args, trainer=None):
     results = evaluate_sequences(
         trainer.eval_step, params, stats, trainer.dataset, seqs,
         gt_dir=args.gt_dir, result_dir=args.result_dir, batch_size=args.batch,
-        make_plots=True,
+        make_plots=True, log=trainer.logger.log,
     )
     out = {}
     for seq, key in keys:
@@ -275,7 +300,7 @@ def stage_val(args, trainer=None):
     results = evaluate_sequences(
         trainer.eval_step, params, stats, trainer.dataset, [VAL_SEQ],
         gt_dir=args.gt_dir, result_dir=os.path.join(args.result_dir, "val"),
-        batch_size=args.batch,
+        batch_size=args.batch, log=trainer.logger.log,
     )
     res = results[VAL_SEQ]
     path = os.path.join(REPO, "docs", "synthetic_drive.json")
@@ -804,6 +829,12 @@ def main():
                     help="Geman-McClure robust kernel in the SLAM window")
     args = ap.parse_args()
 
+    # tunnel-wedge watchdog: all these stages heartbeat log_train.txt
+    if args.stage in ("train", "val", "eval"):
+        start_stall_watchdog(
+            os.path.join(args.log_dir, "log_train.txt"),
+            limit_s=300.0 if args.stage == "train" else 600.0,
+        )
     trainer = None
     if args.stage in ("gen", "all"):
         stage_gen(args)
