@@ -260,6 +260,7 @@ def stage_eval(args, trainer=None):
         trainer.eval_step, params, stats, trainer.dataset, seqs,
         gt_dir=args.gt_dir, result_dir=args.result_dir, batch_size=args.batch,
         make_plots=True, log=trainer.logger.log,
+        stream_fns=trainer.stream_eval_fns,
     )
     out = {}
     for seq, key in keys:
@@ -301,6 +302,7 @@ def stage_val(args, trainer=None):
         trainer.eval_step, params, stats, trainer.dataset, [VAL_SEQ],
         gt_dir=args.gt_dir, result_dir=os.path.join(args.result_dir, "val"),
         batch_size=args.batch, log=trainer.logger.log,
+        stream_fns=trainer.stream_eval_fns,
     )
     res = results[VAL_SEQ]
     path = os.path.join(REPO, "docs", "synthetic_drive.json")
