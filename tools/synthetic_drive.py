@@ -64,13 +64,18 @@ def start_stall_watchdog(log_path, limit_s=300.0):
     quiet past ``limit_s`` the process self-aborts so the chunked driver
     can retry with a fresh client.  Daemon thread."""
 
+    t0 = time.time()
+
     def loop():
         while True:
             time.sleep(30)
             try:
-                age = time.time() - os.path.getmtime(log_path)
+                last = os.path.getmtime(log_path)
             except OSError:
-                continue
+                last = t0
+            # a fresh process inherits a stale log mtime — quiet time counts
+            # from whichever is newer, our own start or the last log write
+            age = time.time() - max(last, t0)
             if age > limit_s:
                 print(f'WATCHDOG: log quiet {age:.0f}s -- aborting for a '
                       f'clean retry (exit 17)', flush=True)
