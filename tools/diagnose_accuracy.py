@@ -162,6 +162,9 @@ def main():
     ap.add_argument("--root", default="/root/drive_data/dataset")
     ap.add_argument("--gt_dir", default="/root/drive_data/ground_truth_pose")
     ap.add_argument("--log_dir", default="/root/drive_data/log")
+    ap.add_argument("--pretrained", default=None,
+                    help="portable artifact to diagnose instead of the "
+                         "latest checkpoint (the SELECTED model)")
     args = ap.parse_args()
 
     import jax
@@ -175,9 +178,14 @@ def main():
         lr_decay_step=50000, lr_decay_rate=0.7, bn_decay_step=50000,
     )
     trainer = sd._trainer(targs)
-    trainer.restore()
-    print(f"restored step {int(trainer.state.step)} "
-          f"(epoch {trainer.start_epoch - 1})", flush=True)
+    if args.pretrained:
+        meta = trainer.load_pretrained(args.pretrained)
+        print(f"loaded artifact {args.pretrained} "
+              f"(epochs={meta.get('trained_epochs')})", flush=True)
+    else:
+        trainer.restore()
+        print(f"restored step {int(trainer.state.step)} "
+              f"(epoch {trainer.start_epoch - 1})", flush=True)
     params = jax.device_get(trainer.state.params)
     stats = jax.device_get(trainer.state.batch_stats)
 
