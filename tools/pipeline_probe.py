@@ -127,12 +127,14 @@ def main():
     dev_batch = put(batches[0])
     key = jax.random.key(1)
     state, _ = step(state, dev_batch, key)  # compile
-    jax.block_until_ready(state.params)
+    jax.block_until_ready(state)
     t0 = time.perf_counter()
     iters = 10
     for _ in range(iters):
         state, m = step(state, dev_batch, key)
-    jax.block_until_ready(state.params)
+        # the tunnel backend's block_until_ready is non-blocking (see
+        # tools/microbench.py) — a real device_get is the only fence
+        float(np.asarray(m["loss"]))
     report["device_step_ms"] = round((time.perf_counter() - t0) / iters * 1e3, 1)
 
     # epoch projections at the synthetic-drive split size
